@@ -1,0 +1,61 @@
+"""Block-size configuration — the TPU analogue of the reference's launch
+templates (``flash_fwd_launch_template.h:90-111``, ``flash_bwd_launch_template.h:
+149-173``), which select CTA tile sizes per head_dim at compile time.
+
+On TPU the tunables are the Pallas grid block sizes. Minimum useful block is
+128 (lane width); larger block_q amortizes the online-softmax vector work over
+more MXU rows, larger block_kv reduces grid steps and HBM round-trips, both at
+the cost of VMEM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+MIN_BLOCK = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockSizes:
+    # forward
+    block_q: int = 256
+    block_kv: int = 512
+    # backward dq kernel: q-block rows owned per grid cell, kv streamed
+    block_q_dq: int = 256
+    block_kv_dq: int = 256
+    # backward dkv kernel: kv-block cols owned per grid cell, q streamed
+    block_q_dkv: int = 256
+    block_kv_dkv: int = 256
+
+    def __post_init__(self):
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            if v % MIN_BLOCK != 0:
+                raise ValueError(f"{f.name}={v} must be a multiple of {MIN_BLOCK}")
+
+    @classmethod
+    def for_shape(cls, seqlen_q: int, seqlen_k: int, head_dim: int) -> "BlockSizes":
+        """Pick block sizes for a given problem shape.
+
+        The analogue of the per-head_dim tile tables in the reference launch
+        templates: hdim128 -> 128x64, hdim64 -> 128x128 there; on TPU the MXU
+        is 128x128 so we favour larger tiles, clamped so tiny problems don't
+        over-pad.
+        """
+
+        def clamp(block, seqlen):
+            # Don't use a block larger than the padded sequence.
+            while block > MIN_BLOCK and block >= 2 * seqlen:
+                block //= 2
+            return max(block, MIN_BLOCK)
+
+        bq = clamp(512 if head_dim <= 64 else 256, seqlen_q)
+        bkv = clamp(512, seqlen_k)
+        return cls(
+            block_q=bq,
+            block_kv=bkv,
+            block_q_dq=clamp(256, seqlen_q),
+            block_kv_dq=clamp(256, seqlen_k),
+            block_q_dkv=clamp(256, seqlen_q),
+            block_kv_dkv=clamp(256, seqlen_k),
+        )

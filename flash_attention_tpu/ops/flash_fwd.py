@@ -1,0 +1,267 @@
+"""Fused flash-attention forward kernel (Pallas / TPU).
+
+TPU-native re-design of the reference forward
+(``/root/reference/src/flash_fwd_kernel.h`` ``compute_attn_1rowblock``):
+
+* The reference's CTA grid ``(num_m_block, batch, head)`` with an in-kernel
+  loop over K/V tiles becomes a Pallas grid ``(batch, head, q_blocks,
+  kv_blocks)`` whose innermost dimension is the online-softmax reduction —
+  Mosaic's pipeline double-buffers the HBM->VMEM K/V block DMAs, replacing
+  Turing's register-file K prefetch (flash_fwd_kernel.h:312,327-331).
+* Warp-shuffle rowmax/rowsum (flash_fwd_kernel.h:385-474) become plain
+  ``jnp.max/sum`` VPU reductions over the (block_q, block_kv) score tile.
+* smem aliasing/swizzles (flash_fwd_kernel.h:120-124, kernel_traits.h:64-67)
+  have no analogue: Mosaic owns VMEM layout.
+* Causal is lower-right aligned: (row, col) masked iff
+  ``col - row > seqlen_k - seqlen_q`` (mask.h:172). Fully-above-diagonal KV
+  blocks are skipped (the analogue of n_block_max, flash_fwd_kernel.h:241-271)
+  and their K/V DMAs elided by clamping the BlockSpec index map (Pallas skips
+  the copy when the block index is unchanged between grid steps).
+* Fully-masked rows produce O=0, LSE=0 (flash_fwd_kernel.h:717-730, :766-785).
+* GQA/MQA: the K/V index maps divide the q-head index by the group size —
+  no head expansion is materialized (contrast flash_api.cpp:265-272).
+
+Outputs O (q.dtype) and LSE = m + log(l) (fp32, flash_fwd_kernel.h:770).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attention_tpu.ops.configs import BlockSizes
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+LANES = 128
+
+
+def _fwd_kernel(
+    # refs (segment refs present only when segmented=True)
+    *refs,
+    sm_scale: float,
+    causal: bool,
+    segmented: bool,
+    seqlen_q: int,
+    seqlen_k: int,
+    block_q: int,
+    block_kv: int,
+    empty_lse: float,
+):
+    if segmented:
+        (q_seg_ref, kv_seg_ref, q_pos_ref, kv_pos_ref,
+         q_ref, k_ref, v_ref, o_ref, lse_ref,
+         m_scr, l_scr, acc_scr) = refs
+    else:
+        (q_ref, k_ref, v_ref, o_ref, lse_ref,
+         m_scr, l_scr, acc_scr) = refs
+
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    # Block-level causal pruning (lower-right aligned): the first allowed col
+    # for any row in this q block is <= last row's col bound.
+    if causal and not segmented:
+        off = seqlen_k - seqlen_q
+        last_row = qi * block_q + block_q - 1
+        should_run = ki * block_kv <= last_row + off
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]  # (block_q, d)
+        k = k_ref[0, 0]  # (block_kv, d)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (block_q, block_kv)
+        s *= sm_scale
+
+        # ---- masking ----
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+        mask = (ki * block_kv + col_ids) < seqlen_k  # OOB cols (padding)
+        if segmented:
+            shape = (block_q, block_kv)
+            q_seg = jax.lax.broadcast_in_dim(q_seg_ref[0, 0, :], shape, (0,))
+            kv_seg = jax.lax.broadcast_in_dim(kv_seg_ref[0, 0, :], shape, (1,))
+            mask &= q_seg == kv_seg
+            if causal:
+                q_pos = jax.lax.broadcast_in_dim(q_pos_ref[0, 0, :], shape, (0,))
+                kv_pos = jax.lax.broadcast_in_dim(kv_pos_ref[0, 0, :], shape, (1,))
+                mask &= kv_pos <= q_pos
+        elif causal:
+            off = seqlen_k - seqlen_q
+            mask &= (ki * block_kv + col_ids) - (qi * block_q + row_ids) <= off
+        s = jnp.where(mask, s, MASK_VALUE)
+
+        # ---- online softmax ----
+        m_prev = m_scr[...]  # (block_q, LANES)
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)  # (block_q, 1)
+        m_next = jnp.maximum(m_prev, m_curr)          # (block_q, LANES)
+        alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])  # (block_q, 1)
+        p = jnp.exp(s - m_next[:, :1])
+        p = jnp.where(mask, p, 0.0)  # exact l; fully-masked rows get l == 0
+        l_next = alpha * l_prev[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+
+        m_scr[...] = jnp.broadcast_to(m_next[:, :1], m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+
+        v = v_ref[0, 0]  # (block_kv, d)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha + pv
+
+    @pl.when(ki == nk - 1)
+    def _store():
+        l = l_scr[:, :1]
+        m = m_scr[:, :1]
+        alive = l > 0.0
+        inv = jnp.where(alive, 1.0 / jnp.where(alive, l, 1.0), 0.0)
+        o_ref[0, 0] = (acc_scr[...] * inv).astype(o_ref.dtype)
+        lse = jnp.where(alive, m + jnp.log(jnp.where(alive, l, 1.0)), empty_lse)
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal", "sm_scale", "block_sizes", "seqlen_q", "seqlen_k",
+        "interpret", "debug", "empty_lse",
+    ),
+)
+def flash_fwd(
+    q,  # (b, h, sq_pad, d_pad)
+    k,  # (b, hk, sk_pad, d_pad)
+    v,  # (b, hk, sk_pad, d_pad)
+    q_seg=None,   # (b, sq_pad) int32 or None
+    kv_seg=None,  # (b, sk_pad) int32 or None
+    q_pos=None,   # (b, sq_pad) int32 (pre-shifted for lower-right causal)
+    kv_pos=None,  # (b, sk_pad) int32
+    *,
+    causal: bool,
+    sm_scale: float,
+    block_sizes: BlockSizes,
+    seqlen_q: int,  # actual (pre-padding) seqlen_q
+    seqlen_k: int,
+    interpret: bool = False,
+    debug: bool = False,
+    empty_lse: float = 0.0,  # lse sentinel for fully-masked rows
+):
+    """Launch the forward kernel on pre-padded (b, h, s, d) inputs.
+
+    Returns (o, lse) with o (b, h, sq_pad, d_pad) q.dtype, lse (b, h, sq_pad) f32.
+    """
+    b, h, sq_pad, d = q.shape
+    _, hk, sk_pad, _ = k.shape
+    group = h // hk
+    segmented = q_seg is not None
+
+    block_q = min(block_sizes.block_q, sq_pad)
+    block_kv = min(block_sizes.block_kv, sk_pad)
+    nq = sq_pad // block_q
+    nk = sk_pad // block_kv
+    grid = (b, h, nq, nk)
+
+    if causal and not segmented:
+        # Clamp K/V index maps so pruned (skipped) blocks re-use the previous
+        # block and no DMA is issued for them.
+        off = seqlen_k - seqlen_q
+
+        def kv_block_idx(qi, ki):
+            last = jax.lax.div(qi * block_q + block_q - 1 + off, block_kv)
+            return jnp.clip(ki, 0, jnp.maximum(last, 0))
+    else:
+        def kv_block_idx(qi, ki):
+            return ki
+
+    q_spec = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0))
+    k_spec = pl.BlockSpec(
+        (1, 1, block_kv, d),
+        lambda b_, h_, qi, ki: (b_, h_ // group, kv_block_idx(qi, ki), 0),
+    )
+    v_spec = pl.BlockSpec(
+        (1, 1, block_kv, d),
+        lambda b_, h_, qi, ki: (b_, h_ // group, kv_block_idx(qi, ki), 0),
+    )
+    in_specs = [q_spec, k_spec, v_spec]
+    inputs = [q, k, v]
+    if segmented:
+        # Per-token metadata is stored (b, 8, s_pad) — 8 broadcast sublanes so
+        # the (1, 8, block) BlockSpec satisfies TPU (8, 128) tiling.
+        seg_specs = [
+            pl.BlockSpec((1, 8, block_q), lambda b_, h_, qi, ki: (b_, 0, qi)),
+            pl.BlockSpec((1, 8, block_kv),
+                         lambda b_, h_, qi, ki: (b_, 0, kv_block_idx(qi, ki))),
+            pl.BlockSpec((1, 8, block_q), lambda b_, h_, qi, ki: (b_, 0, qi)),
+            pl.BlockSpec((1, 8, block_kv),
+                         lambda b_, h_, qi, ki: (b_, 0, kv_block_idx(qi, ki))),
+        ]
+        in_specs = seg_specs + in_specs
+        to8 = lambda x: jnp.broadcast_to(x[:, None, :], (x.shape[0], 8, x.shape[1]))
+        inputs = [to8(q_seg), to8(kv_seg), to8(q_pos), to8(kv_pos)] + inputs
+
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, sq_pad, d), q.dtype),
+        # LSE broadcast along LANES so the block satisfies (8, 128) tiling;
+        # the wrapper returns [..., 0].
+        jax.ShapeDtypeStruct((b, h, sq_pad, LANES), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
+        pl.BlockSpec((1, 1, block_q, LANES), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
+    ]
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        sm_scale=sm_scale,
+        causal=causal,
+        segmented=segmented,
+        seqlen_q=seqlen_q,
+        seqlen_k=seqlen_k,
+        block_q=block_q,
+        block_kv=block_kv,
+        empty_lse=empty_lse,
+    )
+
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),  # running max m
+            pltpu.VMEM((block_q, LANES), jnp.float32),  # running sum l
+            pltpu.VMEM((block_q, d), jnp.float32),      # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * b * h * sq_pad * sk_pad * d * (0.5 if causal else 1.0)),
+            bytes_accessed=(
+                q.size * q.dtype.itemsize
+                + k.size * k.dtype.itemsize * (h // hk)
+                + v.size * v.dtype.itemsize * (h // hk)
+                + b * h * sq_pad * d * q.dtype.itemsize
+            ),
+            transcendentals=b * h * sq_pad * sk_pad,
+        ),
+        interpret=interpret,
+        debug=debug,
+    )(*inputs)
+    return o, lse[..., 0]

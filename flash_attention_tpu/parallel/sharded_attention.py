@@ -1,0 +1,177 @@
+"""Distributed flash attention: head-parallel (TP) and context-parallel (ring).
+
+The reference is strictly single-GPU (SURVEY.md §2.3); these are the
+TPU-native scaling layers the north star requires:
+
+* ``shard_flash_attention`` — heads sharded over the ``model`` mesh axis via
+  shard_map; zero communication during attention (GQA co-locates each KV head
+  with its query group). The all-reduce belongs to the caller's o-projection.
+* ``ring_flash_attention`` — kv-sequence sharded over the ``context`` axis;
+  KV chunks rotate around the ring with ``jax.lax.ppermute`` while each chip
+  computes a partial flash attention on the chunk in front of it, merging
+  partials with the online-softmax LSE merge. Communication is point-to-point
+  over ICI and overlaps with compute.
+* ``merge_partials`` — the (o, lse) combine primitive; the cross-chip
+  generalization of the kernel's in-tile online-softmax rescale.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flash_attention_tpu.ops.attention import fwd
+
+# lse sentinel for rows with no attended keys in a *partial* result. Finite
+# (not -inf) so exp/logaddexp arithmetic in the merge stays NaN-free; any
+# real contribution dominates it.
+EMPTY_LSE = -1e37
+
+
+def merge_partials(o1, lse1, o2, lse2):
+    """Merge two attention partials computed over disjoint kv sets.
+
+    o*: (b, sq, h, d); lse*: (b, h, sq) natural-log-sum-exp per row.
+    Returns (o, lse) equal to attention over the union of the kv sets.
+    """
+    lse_max = jnp.maximum(lse1, lse2)
+    # stable log(exp(lse1) + exp(lse2))
+    lse = lse_max + jnp.log(jnp.exp(lse1 - lse_max) + jnp.exp(lse2 - lse_max))
+    a1 = jnp.exp(lse1 - lse)[..., None].swapaxes(1, 2)  # (b, sq, h, 1)
+    a2 = jnp.exp(lse2 - lse)[..., None].swapaxes(1, 2)
+    o = o1.astype(jnp.float32) * a1 + o2.astype(jnp.float32) * a2
+    return o.astype(o1.dtype), lse
+
+
+def ring_flash_attention(
+    q,
+    k,
+    v,
+    axis_name: str,
+    *,
+    causal: bool = False,
+    sm_scale: float | None = None,
+    axis_size: int | None = None,
+    seq_offset_k_minus_q: int = 0,
+    **fwd_kwargs,
+):
+    """Context-parallel attention over a ring; call INSIDE shard_map.
+
+    Each device holds its local q chunk (b, sq_local, h, d) and kv chunk
+    (b, sk_local, hk, d) of sequence-sharded tensors. KV chunks rotate
+    ``ppermute`` steps around ``axis_name``; partials merge via the LSE merge.
+
+    ``seq_offset_k_minus_q`` is total_seqlen_k - total_seqlen_q for the
+    lower-right causal alignment (0 for self-attention).
+    """
+    n = axis_size if axis_size is not None else jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+    b, sq_local, h, d = q.shape
+    sk_local = k.shape[1]
+
+    if sm_scale is None:
+        sm_scale = 1.0 / d**0.5
+
+    # Global positions for the causal mask (pre-shifted lower-right).
+    q_pos = (
+        me * sq_local
+        + jnp.arange(sq_local, dtype=jnp.int32)[None]
+        + seq_offset_k_minus_q
+    )
+    q_pos = jnp.broadcast_to(q_pos, (b, sq_local))
+    zeros_q = jnp.zeros((b, sq_local), jnp.int32)
+    zeros_k = jnp.zeros((b, sk_local), jnp.int32)
+
+    o = None
+    lse = None
+    k_blk, v_blk = k, v
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    for step in range(n):
+        src = (me - step) % n
+        if causal:
+            kv_pos = src * sk_local + jnp.arange(sk_local, dtype=jnp.int32)[None]
+            kv_pos = jnp.broadcast_to(kv_pos, (b, sk_local))
+            segs = (zeros_q, zeros_k, q_pos, kv_pos)
+            o_i, lse_i = fwd(
+                q, k_blk, v_blk, is_causal=True, sm_scale=sm_scale,
+                segs=segs, empty_lse=EMPTY_LSE, **fwd_kwargs,
+            )
+        else:
+            o_i, lse_i = fwd(
+                q, k_blk, v_blk, is_causal=False, sm_scale=sm_scale,
+                empty_lse=EMPTY_LSE, **fwd_kwargs,
+            )
+        # Rotate kv to the next chip; the transfer overlaps with the next
+        # step's compute (XLA schedules the ppermute async over ICI).
+        if step < n - 1:
+            k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+            v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        if o is None:
+            o, lse = o_i, lse_i
+        else:
+            o, lse = merge_partials(o, lse, o_i, lse_i)
+
+    # Normalize the sentinel: rows that saw no keys anywhere -> lse 0 like the
+    # single-chip kernel (flash_fwd_kernel.h:766-785 semantics).
+    lse = jnp.where(lse <= EMPTY_LSE / 2, 0.0, lse)
+    return o, lse
+
+
+def shard_flash_attention(
+    q,
+    k,
+    v,
+    mesh: Mesh,
+    *,
+    causal: bool = False,
+    sm_scale: float | None = None,
+    data_axis: str = "data",
+    model_axis: str = "model",
+    context_axis: str | None = None,
+    **fwd_kwargs,
+):
+    """Mesh-sharded attention: batch on ``data``, heads on ``model``, and
+    optionally kv-sequence on ``context`` (ring attention).
+
+    q: (b, sq, h, d); k/v: (b, sk, hk, d). Requires h and hk divisible by the
+    model-axis size (GQA co-location; for hk < tp replicate kv outside).
+    Returns o (b, sq, h, d) sharded like q.
+    """
+    b, sq, h, d = q.shape
+    hk = k.shape[2]
+    tp = mesh.shape[model_axis]
+    if h % tp != 0 or hk % tp != 0:
+        raise ValueError(f"heads ({h}, {hk}) must divide model axis {tp}")
+
+    if context_axis is None:
+        qspec = P(data_axis, None, model_axis, None)
+        kvspec = P(data_axis, None, model_axis, None)
+
+        def local(q_, k_, v_):
+            o, _ = fwd(q_, k_, v_, is_causal=causal, sm_scale=sm_scale,
+                       **fwd_kwargs)
+            return o
+
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=(qspec, kvspec, kvspec),
+            out_specs=qspec, check_vma=False,
+        )(q, k, v)
+
+    cp = mesh.shape[context_axis]
+    qspec = P(data_axis, context_axis, model_axis, None)
+    kvspec = P(data_axis, context_axis, model_axis, None)
+
+    def local_ring(q_, k_, v_):
+        o, _ = ring_flash_attention(
+            q_, k_, v_, context_axis,
+            causal=causal, sm_scale=sm_scale, axis_size=cp,
+            seq_offset_k_minus_q=k.shape[1] - sq, **fwd_kwargs,
+        )
+        return o
+
+    return jax.shard_map(
+        local_ring, mesh=mesh, in_specs=(qspec, kvspec, kvspec),
+        out_specs=qspec, check_vma=False,
+    )(q, k, v)

@@ -1,0 +1,118 @@
+"""Forward-kernel parity suite vs the pure-JAX oracle.
+
+Mirrors the reference's dense parity suite structure
+(``/root/reference/test_flash_attn.py:345-554``): GQA pairs, causal both ways,
+and a (seqlen_q, seqlen_k) matrix deliberately hitting block boundaries ±1,
+cross shapes, and degenerate sizes — at the reference's tolerance gates.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flash_attention_tpu import fwd
+from flash_attention_tpu.ops.reference import reference_attention
+from flash_attention_tpu.utils.metrics import assert_metrics
+
+# Forward-only gates: the reference gates O with the same thresholds as grads
+# (test_flash_attn.py:407-414).
+FWD_TOLS = {"atol": 5e-3, "mean_atol": 2e-4, "mean_rtol": 1e-2}
+LSE_TOLS = {"atol": 1e-2, "mean_atol": 1e-3, "mean_rtol": 1e-2}
+
+# Boundary-hunting shape matrix (subset of the reference's ~75 pairs,
+# test_flash_attn.py:261-343; trimmed for interpret-mode runtime).
+SEQLEN_PAIRS = [
+    (128, 128),
+    (256, 256),
+    (512, 512),
+    (1, 1),
+    (1, 2),
+    (64, 1),
+    (63, 63),
+    (65, 65),
+    (127, 128),
+    (128, 127),
+    (129, 129),
+    (257, 129),
+    (129, 257),
+    (512, 256),
+    (256, 512),
+    (384, 640),
+    (640, 384),
+    (961, 1024),
+]
+
+
+def _make_qkv(key, b, sq, sk, h, hk, d, dtype):
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, sq, h, d), dtype=dtype)
+    k = jax.random.normal(kk, (b, sk, hk, d), dtype=dtype)
+    v = jax.random.normal(kv, (b, sk, hk, d), dtype=dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("seqlen_q,seqlen_k", SEQLEN_PAIRS)
+@pytest.mark.parametrize("causal", [False, True])
+def test_fwd_parity(seqlen_q, seqlen_k, causal):
+    q, k, v = _make_qkv(
+        jax.random.PRNGKey(0), 2, seqlen_q, seqlen_k, 4, 4, 64, jnp.float16
+    )
+    o, lse = fwd(q, k, v, is_causal=causal)
+    o_ref, lse_ref = reference_attention(q, k, v, causal=causal)
+    assert_metrics(f"o[{seqlen_q},{seqlen_k},causal={causal}]", o, o_ref, FWD_TOLS)
+    assert_metrics(f"lse[{seqlen_q},{seqlen_k},causal={causal}]", lse, lse_ref, LSE_TOLS)
+
+
+@pytest.mark.parametrize("nheads,nheads_k", [(2, 1), (4, 2), (6, 3), (6, 1)])
+@pytest.mark.parametrize("causal", [False, True])
+def test_fwd_gqa(nheads, nheads_k, causal):
+    q, k, v = _make_qkv(
+        jax.random.PRNGKey(1), 2, 192, 384, nheads, nheads_k, 64, jnp.float16
+    )
+    o, lse = fwd(q, k, v, is_causal=causal)
+    o_ref, lse_ref = reference_attention(q, k, v, causal=causal)
+    assert_metrics(f"o[gqa {nheads}/{nheads_k}]", o, o_ref, FWD_TOLS)
+    assert_metrics(f"lse[gqa {nheads}/{nheads_k}]", lse, lse_ref, LSE_TOLS)
+
+
+@pytest.mark.parametrize("head_dim", [64, 128])
+@pytest.mark.parametrize("causal", [False, True])
+def test_fwd_head_dim(head_dim, causal):
+    q, k, v = _make_qkv(
+        jax.random.PRNGKey(2), 1, 256, 256, 2, 2, head_dim, jnp.float16
+    )
+    o, lse = fwd(q, k, v, is_causal=causal)
+    o_ref, lse_ref = reference_attention(q, k, v, causal=causal)
+    assert_metrics(f"o[d={head_dim}]", o, o_ref, FWD_TOLS)
+    assert_metrics(f"lse[d={head_dim}]", lse, lse_ref, LSE_TOLS)
+
+
+def test_fwd_bf16():
+    q, k, v = _make_qkv(jax.random.PRNGKey(3), 1, 256, 256, 2, 2, 128, jnp.bfloat16)
+    o, _ = fwd(q, k, v, is_causal=True)
+    o_ref, _ = reference_attention(q, k, v, causal=True)
+    # bf16 has ~3 fewer mantissa bits than fp16 -> looser gates
+    assert_metrics(
+        "o[bf16]", o, o_ref.astype(jnp.bfloat16),
+        {"atol": 4e-2, "mean_atol": 2e-3, "mean_rtol": 5e-2},
+    )
+
+
+def test_fwd_fully_masked_rows():
+    # causal with seqlen_q > seqlen_k: top rows fully masked (lower-right
+    # alignment) -> O = 0, LSE = 0 (flash_fwd_kernel.h:717-730 semantics).
+    q, k, v = _make_qkv(jax.random.PRNGKey(4), 1, 200, 64, 2, 2, 64, jnp.float16)
+    o, lse = fwd(q, k, v, is_causal=True)
+    n_masked = 200 - 64
+    assert jnp.all(o[:, :n_masked] == 0.0), "fully-masked rows must output 0"
+    assert jnp.all(lse[:, :, :n_masked] == 0.0), "fully-masked rows must have LSE 0"
+    o_ref, lse_ref = reference_attention(q, k, v, causal=True)
+    assert_metrics("o[masked rows]", o, o_ref, FWD_TOLS)
+    assert_metrics("lse[masked rows]", lse, lse_ref, LSE_TOLS)
+
+
+def test_fwd_custom_scale():
+    q, k, v = _make_qkv(jax.random.PRNGKey(5), 1, 128, 128, 2, 2, 64, jnp.float16)
+    o, _ = fwd(q, k, v, is_causal=False, sm_scale=0.5)
+    o_ref, _ = reference_attention(q, k, v, causal=False, sm_scale=0.5)
+    assert_metrics("o[scale]", o, o_ref, FWD_TOLS)

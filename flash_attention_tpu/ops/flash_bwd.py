@@ -65,6 +65,25 @@ def _block_mask(
     return mask
 
 
+def _di_kernel(o_ref, do_ref, di_ref):
+    """[K1] D = rowsum(dO ∘ O) (flash_bwd_preprocess_kernel.h:24-96).
+
+    Computed as a dot_general against a ones matrix — NOT jnp.sum — so the
+    fp32 contraction tree over head_dim is identical to the one the MXU uses
+    for dP = dO·Vᵀ in K2/K3. When attention is fully concentrated on one key
+    (O ≡ V row), dP − D then cancels bitwise, exactly as the reference's
+    kernels do; a VPU tree-reduce would leave ~1e-7 noise that fails the
+    mean_rel parity gate on degenerate shapes.
+    """
+    o = o_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    ones = jnp.ones((o.shape[-1], LANES), jnp.float32)
+    di_ref[0, 0] = jax.lax.dot_general(
+        do * o, ones, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _dq_kernel(
     *refs,
     sm_scale: float,
@@ -249,9 +268,25 @@ def flash_bwd(
 
     # [K1] D = rowsum(dO ∘ O) per query row, fp32, broadcast along LANES
     # (the LSE/di layout is (b, h, sq, LANES) so blocks satisfy (8, 128)
-    # tiling; only lane 0 is read).
-    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
-    di = jnp.broadcast_to(di[..., None], (*di.shape, LANES))
+    # tiling; only lane 0 is read). See _di_kernel for why this is a Pallas
+    # dot and not jnp.sum.
+    bq_di = min(block_sizes.block_q_dq, sq_pad)
+    di = pl.pallas_call(
+        _di_kernel,
+        grid=(b, h, sq_pad // bq_di),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq_di, d), lambda b_, h_, qi: (b_, h_, qi, 0)),
+            pl.BlockSpec((1, 1, bq_di, d), lambda b_, h_, qi: (b_, h_, qi, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, bq_di, LANES), lambda b_, h_, qi: (b_, h_, qi, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, LANES), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(o, do)
     lse = jnp.broadcast_to(lse.astype(jnp.float32)[..., None], (*lse.shape, LANES))
 
     def to8(x):

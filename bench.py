@@ -64,7 +64,11 @@ def _time_readback(f, args, reps=3):
 
 
 def bench_fwd(batch, seqlen, heads, head_dim, causal, dtype=jnp.bfloat16,
-              n_chain=9):
+              n_chain=None):
+    # Short sequences need longer chains: the slope method loses the signal
+    # in RPC jitter when N*t_kernel ~ the ~29 ms round-trip.
+    if n_chain is None:
+        n_chain = max(9, min(129, (8192 // seqlen) ** 2 * 9))
     key = jax.random.PRNGKey(0)
     kq, kk, kv = jax.random.split(key, 3)
     shape = (batch, seqlen, heads, head_dim)

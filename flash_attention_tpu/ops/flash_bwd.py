@@ -39,30 +39,49 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
 
 
-def _block_mask(
-    s_shape, qi, ki, block_q, block_kv, *, causal, segmented,
-    seqlen_q, seqlen_k,
+def _mask_scores(
+    s, qi, ki, block_q, block_kv, *, causal, segmented,
+    seqlen_q, seqlen_k, n_kv_blocks,
     q_seg=None, kv_seg=None, q_pos=None, kv_pos=None,
 ):
-    """Boolean (block_q, block_kv) attend-allowed mask for block (qi, ki).
+    """Set masked-out lanes of the (block_q, block_kv) score tile to
+    MASK_VALUE. p = exp(s - lse) then underflows to exactly 0 on masked
+    lanes (and on fully-masked rows, whose lse is the 0 sentinel), so callers
+    need no second select. Under causal the OOB-column (padding) mask is
+    implied by the causal compare in global coordinates.
 
     Segment/position args are 1D (block,) vectors (already sliced from their
     (b, 8, s) refs)."""
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, s_shape, 1)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, s_shape, 0)
-    mask = (ki * block_kv + col_ids) < seqlen_k
-    if segmented:
-        qs = jax.lax.broadcast_in_dim(q_seg, s_shape, (0,))
-        ks = jax.lax.broadcast_in_dim(kv_seg, s_shape, (1,))
-        mask &= qs == ks
-        if causal:
-            qp = jax.lax.broadcast_in_dim(q_pos, s_shape, (0,))
-            kp = jax.lax.broadcast_in_dim(kv_pos, s_shape, (1,))
-            mask &= kp <= qp
-    elif causal:
-        off = seqlen_k - seqlen_q
-        mask &= (ki * block_kv + col_ids) - (qi * block_q + row_ids) <= off
-    return mask
+    s_shape = s.shape
+
+    def apply_mask(s):
+        if segmented:
+            qs = jax.lax.broadcast_in_dim(q_seg, s_shape, (0,))
+            ks = jax.lax.broadcast_in_dim(kv_seg, s_shape, (1,))
+            mask = qs == ks  # pad tokens carry sentinel segs (-1/-2): masked
+            if causal:
+                qp = jax.lax.broadcast_in_dim(q_pos, s_shape, (0,))
+                kp = jax.lax.broadcast_in_dim(kv_pos, s_shape, (1,))
+                mask &= kp <= qp
+        elif causal:
+            # col >= seqlen_k implies col - row > off for every real row, so
+            # one compare covers the padding mask too. (Pad q rows may pass
+            # garbage; their do/dq contributions are zero/sliced.)
+            col_ids = jax.lax.broadcasted_iota(jnp.int32, s_shape, 1)
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, s_shape, 0)
+            off = seqlen_k - seqlen_q
+            mask = (ki * block_kv + col_ids) - (qi * block_q + row_ids) <= off
+        else:
+            col_ids = jax.lax.broadcasted_iota(jnp.int32, s_shape, 1)
+            mask = (ki * block_kv + col_ids) < seqlen_k
+        return jnp.where(mask, s, MASK_VALUE)
+
+    # Apply unconditionally: a dynamic lax.cond here turns the enclosing
+    # pl.when(should_run) into full predicated execution and defeats causal
+    # block skipping entirely (measured: causal == dense wall-clock).
+    if segmented or causal or seqlen_k != block_kv * n_kv_blocks:
+        return apply_mask(s)
+    return s
 
 
 def _di_kernel(o_ref, do_ref, di_ref):
@@ -77,11 +96,16 @@ def _di_kernel(o_ref, do_ref, di_ref):
     """
     o = o_ref[0, 0].astype(jnp.float32)
     do = do_ref[0, 0].astype(jnp.float32)
+    # ones must span full lanes so the contraction stays an MXU matmul (a
+    # matvec could lower to a VPU reduce with a different accumulation tree,
+    # breaking the bitwise dP - D cancellation).
     ones = jnp.ones((o.shape[-1], LANES), jnp.float32)
-    di_ref[0, 0] = jax.lax.dot_general(
+    di = jax.lax.dot_general(
         do * o, ones, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    )  # (block_q, LANES), all lanes equal
+    # D stored (b, h, 8, sq) — rows on lanes, 8 broadcast sublanes, like LSE.
+    di_ref[0, 0] = jnp.broadcast_to(di[:, 0][None, :], di_ref.shape[2:])
 
 
 def _dq_kernel(
@@ -122,22 +146,25 @@ def _dq_kernel(
         k = k_ref[0, 0]    # (bkv, d)
         v = v_ref[0, 0]
         do = do_ref[0, 0]  # (bq, d)
-        lse = lse_ref[0, 0][:, :1]  # (bq, 1) f32
-        di = di_ref[0, 0][:, :1]    # (bq, 1) f32
+        # lse/di are (bq,) lane vectors; broadcast along rows (one relayout).
+        lse = jax.lax.broadcast_in_dim(
+            lse_ref[0, 0, 0, :], (block_q, block_kv), (0,))
+        di = jax.lax.broadcast_in_dim(
+            di_ref[0, 0, 0, :], (block_q, block_kv), (0,))
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale
-        mask = _block_mask(
-            s.shape, qi, ki, block_q, block_kv,
+        s = _mask_scores(
+            s, qi, ki, block_q, block_kv,
             causal=causal, segmented=segmented,
-            seqlen_q=seqlen_q, seqlen_k=seqlen_k,
+            seqlen_q=seqlen_q, seqlen_k=seqlen_k, n_kv_blocks=nk,
             q_seg=q_seg_ref[0, 0, :] if segmented else None,
             kv_seg=kv_seg_ref[0, 0, :] if segmented else None,
             q_pos=q_pos_ref[0, 0, :] if (segmented and causal) else None,
             kv_pos=kv_pos_ref[0, 0, :] if (segmented and causal) else None,
         )
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # normalized probs
+        p = jnp.exp(s - lse)  # normalized probs; masked lanes underflow to 0
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -195,22 +222,25 @@ def _dkv_kernel(
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
-        lse = lse_ref[0, 0][:, :1]
-        di = di_ref[0, 0][:, :1]
+        lse = jax.lax.broadcast_in_dim(
+            lse_ref[0, 0, 0, :], (block_q, block_kv), (0,))
+        di = jax.lax.broadcast_in_dim(
+            di_ref[0, 0, 0, :], (block_q, block_kv), (0,))
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale
-        mask = _block_mask(
-            s.shape, qi, ki, block_q, block_kv,
+        s = _mask_scores(
+            s, qi, ki, block_q, block_kv,
             causal=causal, segmented=segmented,
             seqlen_q=seqlen_q, seqlen_k=seqlen_k,
+            n_kv_blocks=pl.num_programs(2),
             q_seg=q_seg_ref[0, 0, :] if segmented else None,
             kv_seg=kv_seg_ref[0, 0, :] if segmented else None,
             q_pos=q_pos_ref[0, 0, :] if (segmented and causal) else None,
             kv_pos=kv_pos_ref[0, 0, :] if (segmented and causal) else None,
         )
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # (bq, bkv)
+        p = jnp.exp(s - lse)  # (bq, bkv); masked lanes underflow to 0
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -279,15 +309,16 @@ def flash_bwd(
             pl.BlockSpec((1, 1, bq_di, d), lambda b_, h_, qi: (b_, h_, qi, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, bq_di, LANES), lambda b_, h_, qi: (b_, h_, qi, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, LANES), jnp.float32),
+            (1, 1, 8, bq_di), lambda b_, h_, qi: (b_, h_, 0, qi)),
+        out_shape=jax.ShapeDtypeStruct((b, h, 8, sq_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=interpret,
     )(o, do)
-    lse = jnp.broadcast_to(lse.astype(jnp.float32)[..., None], (*lse.shape, LANES))
+    # lse arrives (b, h, sq); expand to the kernels' (b, h, 8, sq) layout.
+    lse = jnp.broadcast_to(
+        lse.astype(jnp.float32)[:, :, None, :], (b, h, 8, sq_pad))
 
     def to8(x):
         return jnp.broadcast_to(x[:, None, :], (x.shape[0], 8, x.shape[1]))
@@ -316,9 +347,9 @@ def flash_bwd(
         pl.BlockSpec((1, 1, bq, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),      # q
         pl.BlockSpec((1, 1, bkv, d), lambda b_, h_, qi, ki: (b_, h_ // group, kv_idx(qi, ki), 0)),  # k
         pl.BlockSpec((1, 1, bkv, d), lambda b_, h_, qi, ki: (b_, h_ // group, kv_idx(qi, ki), 0)),  # v
-        pl.BlockSpec((1, 1, bq, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),      # do
-        pl.BlockSpec((1, 1, bq, LANES), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),  # lse
-        pl.BlockSpec((1, 1, bq, LANES), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),  # di
+        pl.BlockSpec((1, 1, bq, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),  # do
+        pl.BlockSpec((1, 1, 8, bq), lambda b_, h_, qi, ki: (b_, h_, 0, qi)),  # lse
+        pl.BlockSpec((1, 1, 8, bq), lambda b_, h_, qi, ki: (b_, h_, 0, qi)),  # di
     ]
     dq_inputs = [q, k, v, do, lse, di]
     if segmented:
@@ -367,10 +398,10 @@ def flash_bwd(
         pl.BlockSpec((1, 1, bkv, d), lambda b_, hk_, ki, g, qi: (b_, hk_, ki, 0)),         # v
         pl.BlockSpec((1, 1, bq, d),
                      lambda b_, hk_, ki, g, qi: (b_, hk_ * group + g, q_idx(ki, qi), 0)),  # do
-        pl.BlockSpec((1, 1, bq, LANES),
-                     lambda b_, hk_, ki, g, qi: (b_, hk_ * group + g, q_idx(ki, qi), 0)),  # lse
-        pl.BlockSpec((1, 1, bq, LANES),
-                     lambda b_, hk_, ki, g, qi: (b_, hk_ * group + g, q_idx(ki, qi), 0)),  # di
+        pl.BlockSpec((1, 1, 8, bq),
+                     lambda b_, hk_, ki, g, qi: (b_, hk_ * group + g, 0, q_idx(ki, qi))),  # lse
+        pl.BlockSpec((1, 1, 8, bq),
+                     lambda b_, hk_, ki, g, qi: (b_, hk_ * group + g, 0, q_idx(ki, qi))),  # di
     ]
     dkv_inputs = [q, k, v, do, lse, di]
     if segmented:

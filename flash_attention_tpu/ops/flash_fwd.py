@@ -88,22 +88,41 @@ def _fwd_kernel(
         s *= sm_scale
 
         # ---- masking ----
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
-        mask = (ki * block_kv + col_ids) < seqlen_k  # OOB cols (padding)
-        if segmented:
+        # Interior blocks skip the iota/compare/select entirely: OOB-column
+        # masking is only needed on the last kv block (and only when the
+        # sequence was padded — static), causal masking only on blocks that
+        # straddle the diagonal (the analogue of the reference's
+        # n_masking_steps, flash_fwd_kernel.h:241-271). Masked lanes get
+        # MASK_VALUE; exp(MASK_VALUE - m) underflows to exactly 0 for any
+        # live row, so no second select over the tile is needed.
+        def apply_mask(s):
             shape = (block_q, block_kv)
-            q_seg = jax.lax.broadcast_in_dim(q_seg_ref[0, 0, :], shape, (0,))
-            kv_seg = jax.lax.broadcast_in_dim(kv_seg_ref[0, 0, :], shape, (1,))
-            mask &= q_seg == kv_seg
-            if causal:
-                q_pos = jax.lax.broadcast_in_dim(q_pos_ref[0, 0, :], shape, (0,))
-                kv_pos = jax.lax.broadcast_in_dim(kv_pos_ref[0, 0, :], shape, (1,))
-                mask &= kv_pos <= q_pos
-        elif causal:
-            off = seqlen_k - seqlen_q
-            mask &= (ki * block_kv + col_ids) - (qi * block_q + row_ids) <= off
-        s = jnp.where(mask, s, MASK_VALUE)
+            if segmented:
+                q_seg = jax.lax.broadcast_in_dim(q_seg_ref[0, 0, :], shape, (0,))
+                kv_seg = jax.lax.broadcast_in_dim(kv_seg_ref[0, 0, :], shape, (1,))
+                mask = q_seg == kv_seg
+                if causal:
+                    q_pos = jax.lax.broadcast_in_dim(q_pos_ref[0, 0, :], shape, (0,))
+                    kv_pos = jax.lax.broadcast_in_dim(kv_pos_ref[0, 0, :], shape, (1,))
+                    mask &= kv_pos <= q_pos
+            elif causal:
+                # The OOB-column (padding) mask is implied: col >= seqlen_k
+                # gives col - row >= seqlen_k - (seqlen_q - 1) > off for every
+                # real row, so one compare covers both. (Pad q rows may pass
+                # garbage; they are sliced off by the wrapper.)
+                col_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+                row_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+                off = seqlen_k - seqlen_q
+                mask = (ki * block_kv + col_ids) - (qi * block_q + row_ids) <= off
+            else:
+                col_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+                mask = (ki * block_kv + col_ids) < seqlen_k  # OOB cols (padding)
+            return jnp.where(mask, s, MASK_VALUE)
+
+        if segmented:
+            s = apply_mask(s)  # every block needs the segment mask
+        elif causal or seqlen_k != block_kv * pl.num_programs(3):
+            s = apply_mask(s)
 
         # ---- online softmax ----
         m_prev = m_scr[...]  # (block_q, LANES)
@@ -112,8 +131,14 @@ def _fwd_kernel(
         m_next = jnp.maximum(m_prev, m_curr)          # (block_q, LANES)
         alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])  # (block_q, 1)
         p = jnp.exp(s - m_next[:, :1])
-        p = jnp.where(mask, p, 0.0)  # exact l; fully-masked rows get l == 0
-        l_next = alpha * l_prev[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        # Fully-masked rows (m == MASK_VALUE) would give p == exp(0) == 1;
+        # guard on the (block_q, 1) row vector instead of the full tile. Any
+        # garbage in acc from a dead phase is wiped by alpha == 0 the moment
+        # the row comes alive, and rows dead to the end have l == 0 which
+        # zeroes the epilogue output.
+        row_alive = m_next[:, :1] > MASK_VALUE * 0.5
+        psum = jnp.where(row_alive, jnp.sum(p, axis=-1, keepdims=True), 0.0)
+        l_next = alpha * l_prev[:, :1] + psum
 
         m_scr[...] = jnp.broadcast_to(m_next[:, :1], m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
@@ -133,7 +158,12 @@ def _fwd_kernel(
         inv = jnp.where(alive, 1.0 / jnp.where(alive, l, 1.0), 0.0)
         o_ref[0, 0] = (acc_scr[...] * inv).astype(o_ref.dtype)
         lse = jnp.where(alive, m + jnp.log(jnp.where(alive, l, 1.0)), empty_lse)
-        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+        # LSE is stored (b, h, 8, sq): q rows on lanes, 8 broadcast sublanes
+        # (the minimum f32 tile). One (block_q, 1) -> (8, block_q) relayout
+        # per q block; 16x less stream traffic in bwd than a 128-lane
+        # broadcast. The wrapper returns sublane 0 as the reference's dense
+        # (b, h, sq) `l` (flash_api.cpp:187-188).
+        lse_ref[0, 0] = jnp.broadcast_to(lse[:, 0][None, :], lse_ref.shape[2:])
 
 
 @functools.partial(
@@ -216,13 +246,12 @@ def flash_fwd(
 
     out_shape = [
         jax.ShapeDtypeStruct((b, h, sq_pad, d), q.dtype),
-        # LSE broadcast along LANES so the block satisfies (8, 128) tiling;
-        # the wrapper returns [..., 0].
-        jax.ShapeDtypeStruct((b, h, sq_pad, LANES), jnp.float32),
+        # LSE (b, h, 8, sq): q rows on lanes, 8 broadcast sublanes.
+        jax.ShapeDtypeStruct((b, h, 8, sq_pad), jnp.float32),
     ]
     out_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
-        pl.BlockSpec((1, 1, block_q, LANES), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
+        pl.BlockSpec((1, 1, 8, block_q), lambda b_, h_, qi, ki: (b_, h_, 0, qi)),
     ]
 
     kernel = functools.partial(
@@ -264,4 +293,4 @@ def flash_fwd(
         interpret=interpret,
         debug=debug,
     )(*inputs)
-    return o, lse[..., 0]
+    return o, lse[:, :, 0, :]

@@ -1,0 +1,153 @@
+// Native runtime core for the TPU serving engine: paged-KV block allocator
+// and continuous-batching admission scheduler.
+//
+// The reference implements its host runtime in C++ (flash_api.cpp's dispatch
+// layer); this is the analogous native layer for the serving engine: the
+// page allocator and scheduler run on the host critical path once per decode
+// step, so they are implemented in C++ behind a C ABI (consumed from Python
+// via ctypes -- no pybind11 dependency).
+//
+// Design:
+//  * PageAllocator: O(1) alloc/free via a free-list stack over a fixed pool
+//    of HBM pages. Each sequence owns a page list; growing a sequence by one
+//    token allocates a page only at page_size boundaries.
+//  * Scheduler: FCFS admission with page-budget backpressure: a waiting
+//    request is admitted when its prompt's pages plus a reserve fit in the
+//    free pool. Running sequences are preempted (last-in) if a decode step
+//    cannot allocate.
+//
+// All functions are thread-compatible but not thread-safe; the engine calls
+// them from a single Python thread.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Sequence {
+  std::vector<int32_t> pages;
+  int32_t length = 0;   // tokens currently stored
+  bool live = false;
+};
+
+struct Runtime {
+  int32_t total_pages = 0;
+  int32_t page_size = 0;
+  std::vector<int32_t> free_list;       // stack of free page ids
+  std::vector<Sequence> seqs;           // slot id -> sequence
+  std::vector<int32_t> free_slots;      // stack of free slot ids
+};
+
+int32_t pages_for(const Runtime* rt, int32_t tokens) {
+  return (tokens + rt->page_size - 1) / rt->page_size;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Create a runtime managing `total_pages` pages of `page_size` tokens with
+// capacity for `max_seqs` concurrent sequences. Returns an opaque handle.
+void* fat_runtime_create(int32_t total_pages, int32_t page_size,
+                         int32_t max_seqs) {
+  auto* rt = new Runtime();
+  rt->total_pages = total_pages;
+  rt->page_size = page_size;
+  rt->free_list.reserve(total_pages);
+  for (int32_t i = total_pages - 1; i >= 0; --i) rt->free_list.push_back(i);
+  rt->seqs.resize(max_seqs);
+  rt->free_slots.reserve(max_seqs);
+  for (int32_t i = max_seqs - 1; i >= 0; --i) rt->free_slots.push_back(i);
+  return rt;
+}
+
+void fat_runtime_destroy(void* h) { delete static_cast<Runtime*>(h); }
+
+int32_t fat_free_pages(void* h) {
+  return static_cast<int32_t>(static_cast<Runtime*>(h)->free_list.size());
+}
+
+// Allocate a sequence slot holding `prompt_tokens` tokens. Returns the slot
+// id, or -1 if no slot / not enough pages (nothing is allocated on failure).
+int32_t fat_seq_alloc(void* h, int32_t prompt_tokens) {
+  auto* rt = static_cast<Runtime*>(h);
+  if (rt->free_slots.empty()) return -1;
+  int32_t need = pages_for(rt, prompt_tokens);
+  if (need > static_cast<int32_t>(rt->free_list.size())) return -1;
+  int32_t slot = rt->free_slots.back();
+  rt->free_slots.pop_back();
+  Sequence& s = rt->seqs[slot];
+  s.pages.clear();
+  s.length = prompt_tokens;
+  s.live = true;
+  for (int32_t i = 0; i < need; ++i) {
+    s.pages.push_back(rt->free_list.back());
+    rt->free_list.pop_back();
+  }
+  return slot;
+}
+
+// Grow a sequence by one token. Returns 0 on success, -1 if a new page was
+// needed but the pool is exhausted (caller should preempt).
+int32_t fat_seq_append(void* h, int32_t slot) {
+  auto* rt = static_cast<Runtime*>(h);
+  Sequence& s = rt->seqs[slot];
+  int32_t need = pages_for(rt, s.length + 1);
+  if (need > static_cast<int32_t>(s.pages.size())) {
+    if (rt->free_list.empty()) return -1;
+    s.pages.push_back(rt->free_list.back());
+    rt->free_list.pop_back();
+  }
+  s.length += 1;
+  return 0;
+}
+
+// Release a sequence's pages and slot.
+void fat_seq_free(void* h, int32_t slot) {
+  auto* rt = static_cast<Runtime*>(h);
+  Sequence& s = rt->seqs[slot];
+  if (!s.live) return;
+  for (int32_t p : s.pages) rt->free_list.push_back(p);
+  s.pages.clear();
+  s.length = 0;
+  s.live = false;
+  rt->free_slots.push_back(slot);
+}
+
+int32_t fat_seq_length(void* h, int32_t slot) {
+  return static_cast<Runtime*>(h)->seqs[slot].length;
+}
+
+int32_t fat_seq_num_pages(void* h, int32_t slot) {
+  return static_cast<int32_t>(
+      static_cast<Runtime*>(h)->seqs[slot].pages.size());
+}
+
+// Copy the sequence's page ids into `out` (caller-sized >= num_pages, padded
+// with `pad` up to out_len). Returns num real pages.
+int32_t fat_seq_page_table(void* h, int32_t slot, int32_t* out,
+                           int32_t out_len, int32_t pad) {
+  auto* rt = static_cast<Runtime*>(h);
+  const Sequence& s = rt->seqs[slot];
+  int32_t n = static_cast<int32_t>(s.pages.size());
+  int32_t i = 0;
+  for (; i < n && i < out_len; ++i) out[i] = s.pages[i];
+  for (; i < out_len; ++i) out[i] = pad;
+  return n;
+}
+
+// Admission check used by the continuous-batching scheduler: would a prompt
+// of `prompt_tokens` fit right now, keeping `reserve_pages` in the pool for
+// running sequences to grow into?
+int32_t fat_can_admit(void* h, int32_t prompt_tokens, int32_t reserve_pages) {
+  auto* rt = static_cast<Runtime*>(h);
+  if (rt->free_slots.empty()) return 0;
+  int32_t need = pages_for(rt, prompt_tokens);
+  return (need + reserve_pages <=
+          static_cast<int32_t>(rt->free_list.size()))
+             ? 1
+             : 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,243 @@
+"""Llama-family transformer on the framework's kernels.
+
+The reference is a kernel library; the north star extends it into a serving
+engine, so this is the flagship model family: RMSNorm + RoPE + GQA attention
++ SwiGLU, sized by ``LlamaConfig`` (defaults: Llama-2-7B shapes).
+
+Two forward paths, both built on this repo's Pallas kernels:
+
+* ``prefill`` — full-prompt forward using the dense flash attention
+  (``ops.attention.flash_attention``), returning logits and per-layer K/V for
+  the cache.
+* ``decode_step`` — one-token-per-sequence batched forward against the paged
+  KV cache (``ops.paged_attention``), with the cache scatter (this step's K/V
+  into its page slot) fused into the jitted step.
+
+Layers are stacked on a leading axis and driven by ``lax.scan`` so compile
+time stays flat in depth. Weights may be bf16 or weight-only int8/int4
+(``ops.quant.QuantizedTensor``), in which case the big matmuls run through
+``quantized_matmul``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from flash_attention_tpu.ops.attention import flash_attention
+from flash_attention_tpu.ops.paged_attention import paged_attention
+from flash_attention_tpu.ops.quant import (QuantizedTensor, quantize_int4,
+                                           quantize_int8, quantized_matmul)
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    dim: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 32
+    head_dim: int = 128
+    hidden_dim: int = 11008
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-5
+
+    @classmethod
+    def llama2_7b(cls):
+        return cls()
+
+    @classmethod
+    def tiny(cls, **kw):
+        """Small config for tests/CI."""
+        d = dict(vocab_size=256, dim=256, n_layers=2, n_heads=4,
+                 n_kv_heads=2, head_dim=128, hidden_dim=512)
+        d.update(kw)
+        return cls(**d)
+
+
+def init_params(rng, cfg: LlamaConfig, dtype=jnp.bfloat16):
+    """Random-init parameters; layer weights stacked on axis 0 for scan."""
+    keys = jax.random.split(rng, 10)
+    L, D, H, HK, hd, F = (cfg.n_layers, cfg.dim, cfg.n_heads, cfg.n_kv_heads,
+                          cfg.head_dim, cfg.hidden_dim)
+
+    def w(key, *shape, scale=None):
+        scale = scale if scale is not None else (shape[-2] ** -0.5)
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+    return {
+        "embed": w(keys[0], cfg.vocab_size, D, scale=0.02),
+        "wq": w(keys[1], L, D, H * hd),
+        "wk": w(keys[2], L, D, HK * hd),
+        "wv": w(keys[3], L, D, HK * hd),
+        "wo": w(keys[4], L, H * hd, D),
+        "w_gate": w(keys[5], L, D, F),
+        "w_up": w(keys[6], L, D, F),
+        "w_down": w(keys[7], L, F, D),
+        "norm_attn": jnp.ones((L, D), dtype),
+        "norm_mlp": jnp.ones((L, D), dtype),
+        "norm_out": jnp.ones((D,), dtype),
+        "lm_head": w(keys[8], D, cfg.vocab_size),
+    }
+
+
+def quantize_params(params, bits: int = 8):
+    """Weight-only quantization of every per-layer matmul weight."""
+    quant = quantize_int8 if bits == 8 else quantize_int4
+
+    def q_stacked(w):  # (L, k, n) -> stacked QuantizedTensor
+        qs = [quant(w[i]) for i in range(w.shape[0])]
+        return QuantizedTensor(jnp.stack([q.values for q in qs]),
+                               jnp.stack([q.scales for q in qs]), bits)
+
+    out = dict(params)
+    for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+        out[name] = q_stacked(params[name])
+    out["lm_head"] = quant(params["lm_head"])
+    return out
+
+
+def _mm(x, w):
+    """x @ w for plain or quantized w. x: (..., k)."""
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    if isinstance(w, QuantizedTensor):
+        y = quantized_matmul(x2, w, block_n=min(512, w.scales.shape[-1]),
+                             block_k=min(512, shape[-1]))
+    else:
+        y = jax.lax.dot_general(
+            x2, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+    return y.reshape(*shape[:-1], -1)
+
+
+def _rmsnorm(x, g, eps):
+    x32 = x.astype(jnp.float32)
+    n = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
+    return (n * g.astype(jnp.float32)).astype(x.dtype)
+
+
+def _rope(x, positions, theta):
+    """x: (..., seq, heads, head_dim); positions: (..., seq) int32."""
+    hd = x.shape[-1]
+    half = hd // 2
+    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    angles = positions[..., :, None, None].astype(jnp.float32) * freqs  # (..., seq, 1, half)
+    cos, sin = jnp.cos(angles), jnp.sin(angles)
+    x1, x2 = x[..., :half].astype(jnp.float32), x[..., half:].astype(jnp.float32)
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1).astype(x.dtype)
+
+
+def _layer_weights(params):
+    names = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
+             "norm_attn", "norm_mlp")
+    return tuple(params[n] for n in names)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def prefill(params, tokens, cfg: LlamaConfig):
+    """Full-prompt forward. tokens: (b, s) int32.
+
+    Returns (logits (b, s, vocab), k_cache (L, b, s, hk, hd), v_cache same).
+    """
+    b, s = tokens.shape
+    x = params["embed"][tokens]  # (b, s, D)
+    positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+
+    def layer(x, w):
+        (wq, wk, wv, wo, wg, wu, wd, na, nm) = w
+        h = _rmsnorm(x, na, cfg.norm_eps)
+        q = _mm(h, wq).reshape(b, s, cfg.n_heads, cfg.head_dim)
+        k = _mm(h, wk).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+        v = _mm(h, wv).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+        q = _rope(q, positions, cfg.rope_theta)
+        k = _rope(k, positions, cfg.rope_theta)
+        o = flash_attention(q, k, v, causal=True)
+        x = x + _mm(o.reshape(b, s, -1), wo)
+        h = _rmsnorm(x, nm, cfg.norm_eps)
+        x = x + _mm(jax.nn.silu(_mm(h, wg).astype(jnp.float32)).astype(x.dtype)
+                    * _mm(h, wu), wd)
+        return x, (k, v)
+
+    x, (ks, vs) = jax.lax.scan(layer, x, _layer_weights(params))
+    x = _rmsnorm(x, params["norm_out"], cfg.norm_eps)
+    logits = _mm(x, params["lm_head"]).astype(jnp.float32)
+    return logits, ks, vs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1, 2))
+def decode_step(
+    params,
+    k_pages,       # (L, hk, total_pages, page_size, hd) — donated
+    v_pages,
+    tokens,        # (b,) int32 — the token just produced/fed per sequence
+    lengths,       # (b,) int32 — sequence length INCLUDING this token
+    page_tables,   # (b, pages_per_seq) int32
+    write_page,    # (b,) int32 — physical page receiving this token's K/V
+    write_off,     # (b,) int32 — offset within that page
+    cfg: LlamaConfig,
+):
+    """One decode token for a batch of sequences against the paged cache.
+
+    Returns (logits (b, vocab) f32, k_pages, v_pages).
+    """
+    b = tokens.shape[0]
+    x = params["embed"][tokens]  # (b, D)
+    pos = (lengths - 1).astype(jnp.int32)  # 0-based position of this token
+
+    def layer(x, w_and_cache):
+        (wq, wk, wv, wo, wg, wu, wd, na, nm), kp, vp = w_and_cache
+        h = _rmsnorm(x, na, cfg.norm_eps)
+        q = _mm(h, wq).reshape(b, 1, cfg.n_heads, cfg.head_dim)
+        k = _mm(h, wk).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
+        v = _mm(h, wv).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
+        q = _rope(q, pos[:, None], cfg.rope_theta)[:, 0]  # (b, H, hd)
+        k = _rope(k, pos[:, None], cfg.rope_theta)[:, 0]  # (b, HK, hd)
+        v = v[:, 0]
+        # scatter this token's K/V into its page slot
+        kp = kp.at[:, write_page, write_off].set(
+            k.transpose(1, 0, 2).astype(kp.dtype))
+        vp = vp.at[:, write_page, write_off].set(
+            v.transpose(1, 0, 2).astype(vp.dtype))
+        o = paged_attention(q.reshape(b, -1, cfg.head_dim), kp, vp,
+                            lengths, page_tables)
+        x = x + _mm(o.reshape(b, -1), wo)
+        h = _rmsnorm(x, nm, cfg.norm_eps)
+        x = x + _mm(jax.nn.silu(_mm(h, wg).astype(jnp.float32)).astype(x.dtype)
+                    * _mm(h, wu), wd)
+        return x, (kp, vp)
+
+    x, (k_pages, v_pages) = jax.lax.scan(
+        layer, x, (_layer_weights(params), k_pages, v_pages))
+    x = _rmsnorm(x, params["norm_out"], cfg.norm_eps)
+    logits = _mm(x, params["lm_head"]).astype(jnp.float32)
+    return logits, k_pages, v_pages
+
+
+def write_prefill_to_pages(k_pages, v_pages, layer_kv, page_ids, length,
+                           page_size: int):
+    """Scatter one sequence's prefill K/V into its pages.
+
+    layer_kv: (ks, vs) each (L, 1, s, hk, hd) from ``prefill`` (batch 1).
+    page_ids: (n_pages,) int32 physical pages owned by the sequence.
+    Returns updated (k_pages, v_pages) of shape (L, hk, P, page_size, hd).
+    """
+    ks, vs = layer_kv
+    L, _, s, hk, hd = ks.shape
+    n_pages = page_ids.shape[0]
+    pad = n_pages * page_size - length
+
+    def prep(x):  # (L, 1, s, hk, hd) -> (L, hk, n_pages, page_size, hd)
+        x = x[:, 0, :length]
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        x = x.reshape(L, n_pages, page_size, hk, hd)
+        return x.transpose(0, 3, 1, 2, 4)
+
+    k_pages = k_pages.at[:, :, page_ids].set(prep(ks).astype(k_pages.dtype))
+    v_pages = v_pages.at[:, :, page_ids].set(prep(vs).astype(v_pages.dtype))
+    return k_pages, v_pages

@@ -1,0 +1,353 @@
+"""Paged-attention decode kernel (Pallas / TPU).
+
+The serving-side complement of the training kernels: one new query token per
+sequence attends to a KV cache stored in non-contiguous fixed-size pages
+scattered across HBM (virtual memory for KV). The reference kernel library
+has no serving path at all (SURVEY.md §2.3); this is the TPU-native design:
+
+* K/V pages live in HBM (``memory_space=pltpu.ANY``); the kernel gathers the
+  pages a sequence actually owns with one async DMA per page, all in flight
+  concurrently, double-buffered so the next compute block's pages load while
+  the current block computes.
+* Page indices and sequence lengths are scalar-prefetched
+  (``pltpu.PrefetchScalarGridSpec``) so DMA source addresses are known before
+  the kernel body runs.
+* GQA is the natural layout: grid cell = (batch, kv_head); the q heads of the
+  group form the MXU's M dimension.
+* Online softmax over compute blocks, identical math to the training forward
+  (flash_fwd.py), with per-sequence length masking.
+* Optionally the KV pages are int8-quantized with per-token scales;
+  dequantization happens in-register after the DMA (half the page bandwidth,
+  which is the decode bottleneck), folded in before the softmax so the
+  numerics match dense attention on the dequantized cache.
+
+Every scheduled sequence must have length >= 1 (pad empty batch slots with a
+dummy length-1 sequence); the double-buffer prefetch chain relies on block 0
+of every (batch, kv_head) cell being live.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+class MultiPageCopy:
+    """One async DMA per (non-contiguous) page into a VMEM slot buffer."""
+
+    def __init__(self, pages_hbm_ref, vmem_buf, sem, page_indices_ref,
+                 start, num_pages: int, kv_head):
+        self._copies = [
+            pltpu.make_async_copy(
+                pages_hbm_ref.at[kv_head, page_indices_ref[start + i]],
+                vmem_buf.at[i],
+                sem,
+            )
+            for i in range(num_pages)
+        ]
+
+    def start(self):
+        for c in self._copies:
+            c.start()
+
+    def wait(self):
+        for c in self._copies:
+            c.wait()
+
+
+def _paged_attn_kernel(
+    # scalar prefetch
+    lengths_ref,        # (b,) int32
+    page_indices_ref,   # (b * pages_per_seq,) int32
+    # inputs
+    q_ref,              # (1, 1, group, head_dim) VMEM block
+    k_pages_ref,        # (hk, total_pages, page_size, d) HBM
+    k_scales_ref,       # (hk, total_pages, page_size, d or 128) HBM (maybe dummy)
+    v_pages_ref,
+    v_scales_ref,
+    # outputs
+    o_ref,              # (1, 1, group, head_dim) VMEM block
+    # scratch
+    buffer_index_ref,   # (1,) int32 SMEM
+    m_scr,              # (group, 128) f32
+    l_scr,
+    acc_scr,            # (group, head_dim) f32
+    k_buf,              # (2, pages_per_block, page_size, d) VMEM
+    v_buf,
+    k_scale_buf,        # (2, pages_per_block, page_size, s) VMEM (maybe dummy)
+    v_scale_buf,
+    k_sems,             # DMA sem (2,) — one per buffer slot
+    v_sems,
+    *,
+    batch_size: int,
+    pages_per_seq: int,
+    pages_per_block: int,
+    page_size: int,
+    sm_scale: float,
+    quantized: bool,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    i = pl.program_id(2)
+    num_blocks = pl.num_programs(2)
+    num_kv_heads = pl.num_programs(1)
+    bk = pages_per_block * page_size
+    length = lengths_ref[b]
+
+    def copies(b_, h_, i_, slot):
+        start = b_ * pages_per_seq + i_ * pages_per_block
+        cs = [
+            MultiPageCopy(k_pages_ref, k_buf.at[slot], k_sems.at[slot],
+                          page_indices_ref, start, pages_per_block, h_),
+            MultiPageCopy(v_pages_ref, v_buf.at[slot], v_sems.at[slot],
+                          page_indices_ref, start, pages_per_block, h_),
+        ]
+        if quantized:
+            cs.append(MultiPageCopy(k_scales_ref, k_scale_buf.at[slot],
+                                    k_sems.at[slot], page_indices_ref, start,
+                                    pages_per_block, h_))
+            cs.append(MultiPageCopy(v_scales_ref, v_scale_buf.at[slot],
+                                    k_sems.at[slot], page_indices_ref, start,
+                                    pages_per_block, h_))
+        return cs
+
+    def next_live_block(b_, h_, i_):
+        """Grid coords of the next block that computes. Blocks past a
+        sequence's length are dead and contiguous at the tail of each (b, h)
+        cell, and block 0 is always live (length >= 1), so one skip to the
+        next (b, h) suffices. Returns b == batch_size when the grid ends."""
+        i_n = i_ + 1
+        h_n = jnp.where(i_n == num_blocks, h_ + 1, h_)
+        i_n = jnp.where(i_n == num_blocks, 0, i_n)
+        b_n = jnp.where(h_n == num_kv_heads, b_ + 1, b_)
+        h_n = jnp.where(h_n == num_kv_heads, 0, h_n)
+        blen = lengths_ref[jnp.minimum(b_n, batch_size - 1)]
+        dead = (b_n < batch_size) & (i_n * bk >= blen)
+        # advance to the next (b, h) cell's block 0
+        h_s = h_n + 1
+        b_s = jnp.where(h_s == num_kv_heads, b_n + 1, b_n)
+        h_s = jnp.where(h_s == num_kv_heads, 0, h_s)
+        b_n = jnp.where(dead, b_s, b_n)
+        h_n = jnp.where(dead, h_s, h_n)
+        i_n = jnp.where(dead, 0, i_n)
+        return b_n, h_n, i_n
+
+    @pl.when(i * bk < length)
+    def _run():
+        # ---- init accumulators on the first block of this (b, h) ----
+        @pl.when(i == 0)
+        def _init():
+            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        # ---- warm-up: the very first live block starts its own DMA ----
+        is_first = (b == 0) & (h == 0) & (i == 0)
+
+        @pl.when(is_first)
+        def _first():
+            buffer_index_ref[0] = 0
+            for c in copies(b, h, i, 0):
+                c.start()
+
+        slot = buffer_index_ref[0]
+
+        # ---- prefetch the next live block into the other slot ----
+        b_n, h_n, i_n = next_live_block(b, h, i)
+
+        @pl.when(b_n < batch_size)
+        def _prefetch():
+            nxt = 1 - slot
+            bc = jnp.minimum(b_n, batch_size - 1)
+            for c in copies(bc, h_n, i_n, nxt):
+                c.start()
+
+        buffer_index_ref[0] = jnp.where(b_n < batch_size, 1 - slot, slot)
+
+        # ---- wait for this block's pages ----
+        for c in copies(b, h, i, slot):
+            c.wait()
+
+        k = k_buf[slot].reshape(bk, -1)
+        v = v_buf[slot].reshape(bk, -1)
+        if quantized:
+            ks = k_scale_buf[slot].reshape(bk, -1).astype(jnp.float32)
+            vs = v_scale_buf[slot].reshape(bk, -1).astype(jnp.float32)
+            # dequantize at the query's precision so serving (bf16) pays no
+            # extra width and fp32 tests stay exact vs the dequant oracle
+            k = (k.astype(jnp.float32) * ks[:, :1]).astype(q_ref.dtype)
+            v = (v.astype(jnp.float32) * vs[:, :1]).astype(q_ref.dtype)
+
+        q = q_ref[0, 0]  # (group, d)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale  # (group, bk)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(i * bk + col < length, s, MASK_VALUE)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev[:, :1], m_curr)
+        alpha = jnp.exp(m_prev[:, :1] - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha + pv
+
+        # ---- epilogue on the last live block of this (b, h) ----
+        is_last = (i + 1) * bk >= length
+
+        @pl.when(is_last)
+        def _store():
+            l = l_scr[:, :1]
+            inv = jnp.where(l > 0.0, 1.0 / jnp.where(l > 0.0, l, 1.0), 0.0)
+            o_ref[0, 0] = (acc_scr[...] * inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "pages_per_block", "interpret"),
+)
+def paged_attention(
+    q,              # (b, num_q_heads, head_dim)
+    k_pages,        # (num_kv_heads, total_pages, page_size, head_dim)
+    v_pages,
+    lengths,        # (b,) int32 — current length of each sequence (>= 1)
+    page_indices,   # (b, pages_per_seq) int32
+    *,
+    k_scales=None,  # (num_kv_heads, total_pages, page_size, scale_w) f32
+    v_scales=None,
+    sm_scale: float | None = None,
+    pages_per_block: int = 8,
+    interpret: bool | None = None,
+):
+    """Single-token decode attention against a paged KV cache.
+
+    Returns o (b, num_q_heads, head_dim) in q.dtype. Output rows for batch
+    slots the scheduler padded with dummies are garbage by construction.
+    """
+    b, h, d = q.shape
+    hk, total_pages, page_size, _ = k_pages.shape
+    _, pages_per_seq = page_indices.shape
+    group = h // hk
+    if h % hk != 0:
+        raise ValueError(f"q heads {h} not divisible by kv heads {hk}")
+    if sm_scale is None:
+        sm_scale = 1.0 / d**0.5
+    pages_per_block = min(pages_per_block, pages_per_seq)
+    if pages_per_seq % pages_per_block != 0:
+        raise ValueError(
+            f"pages_per_seq {pages_per_seq} must be a multiple of "
+            f"pages_per_block {pages_per_block}")
+    num_blocks = pages_per_seq // pages_per_block
+    quantized = k_scales is not None
+    if interpret is None:
+        interpret = jax.default_backend() == 'cpu'
+
+    # (b, hk, group, d) so each grid cell sees its GQA group as the M dim.
+    q_grouped = q.reshape(b, hk, group, d)
+
+    if quantized:
+        scale_shape = (2, pages_per_block, page_size, k_scales.shape[-1])
+        scale_dtype = k_scales.dtype
+    else:
+        # dummy buffers/arrays so the kernel arity is fixed
+        scale_shape = (2, 1, 8, 128)
+        scale_dtype = jnp.float32
+        k_scales = jnp.zeros((1, 1, 8, 128), jnp.float32)
+        v_scales = k_scales
+
+    kernel = functools.partial(
+        _paged_attn_kernel,
+        batch_size=b,
+        pages_per_seq=pages_per_seq,
+        pages_per_block=pages_per_block,
+        page_size=page_size,
+        sm_scale=sm_scale,
+        quantized=quantized,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, hk, num_blocks),
+        in_specs=[
+            pl.BlockSpec((1, 1, group, d),
+                         lambda b_, h_, i_, *_: (b_, h_, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # k_pages
+            pl.BlockSpec(memory_space=pltpu.ANY),  # k_scales
+            pl.BlockSpec(memory_space=pltpu.ANY),  # v_pages
+            pl.BlockSpec(memory_space=pltpu.ANY),  # v_scales
+        ],
+        out_specs=pl.BlockSpec((1, 1, group, d),
+                               lambda b_, h_, i_, *_: (b_, h_, 0, 0)),
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((group, 128), jnp.float32),
+            pltpu.VMEM((group, 128), jnp.float32),
+            pltpu.VMEM((group, d), jnp.float32),
+            pltpu.VMEM((2, pages_per_block, page_size, d), k_pages.dtype),
+            pltpu.VMEM((2, pages_per_block, page_size, d), v_pages.dtype),
+            pltpu.VMEM(scale_shape, scale_dtype),
+            pltpu.VMEM(scale_shape, scale_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    o = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hk, group, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        lengths.astype(jnp.int32),
+        page_indices.reshape(-1).astype(jnp.int32),
+        q_grouped,
+        k_pages,
+        k_scales,
+        v_pages,
+        v_scales,
+    )
+    return o.reshape(b, h, d)
+
+
+def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices,
+                              *, k_scales=None, v_scales=None,
+                              sm_scale=None):
+    """Plain-JAX oracle: gather pages densely and run masked attention."""
+    b, h, d = q.shape
+    hk, _, page_size, _ = k_pages.shape
+    group = h // hk
+    if sm_scale is None:
+        sm_scale = 1.0 / d**0.5
+    if k_scales is not None:
+        k_pages = k_pages.astype(jnp.float32) * k_scales[..., :1]
+        v_pages = v_pages.astype(jnp.float32) * v_scales[..., :1]
+    # (b, hk, pages_per_seq * page_size, d)
+    k = k_pages[:, page_indices].transpose(1, 0, 2, 3, 4).reshape(b, hk, -1, d)
+    v = v_pages[:, page_indices].transpose(1, 0, 2, 3, 4).reshape(b, hk, -1, d)
+    qg = q.reshape(b, hk, group, d).astype(jnp.float32)
+    s = jnp.einsum("bhgd,bhtd->bhgt", qg, k.astype(jnp.float32)) * sm_scale
+    t = s.shape[-1]
+    mask = jnp.arange(t)[None, :] < lengths[:, None]  # (b, t)
+    s = jnp.where(mask[:, None, None, :], s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhgt,bhtd->bhgd", p, v.astype(jnp.float32))
+    return o.reshape(b, h, d).astype(q.dtype)

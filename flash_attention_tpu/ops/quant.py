@@ -1,0 +1,198 @@
+"""Quantization: weight-only INT8/INT4 matmul kernels and KV-cache quant.
+
+The reference has no quantization (SURVEY.md §2); these are the serving-side
+kernels the north star requires:
+
+* ``QuantizedTensor`` — int payload + fp scales, the framework-wide carrier.
+* ``quantize_int8`` / ``quantize_int4`` — symmetric per-channel (or
+  per-group) weight quantization.
+* ``quantized_matmul`` — Pallas kernel: bf16 activations x int8/int4 weights,
+  dequantized in-register on the way into the MXU, per-channel scales folded
+  into the fp32 output tile (exact — scales commute with the contraction).
+* ``quantize_kv_pages`` — per-token symmetric int8 quantization of paged KV,
+  layout-matched to ``ops.paged_attention`` (scales broadcast along lanes so
+  the page DMA stays tiled).
+
+INT4 is stored packed, two nibbles per int8 byte along the contraction axis;
+the kernel sign-extends with shifts. This keeps HBM traffic at 0.5 B/weight
+without relying on native int4 tiling support.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class QuantizedTensor(NamedTuple):
+    """values: int8 payload (possibly nibble-packed), scales: fp32.
+
+    For weights: logical shape (k, n); int8 -> values (k, n); int4 -> values
+    (k // 2, n) with rows 2i (low nibble) and 2i+1 (high nibble) packed.
+    scales: (n,) per output channel. ``bits`` is static pytree metadata.
+    """
+
+    values: jax.Array
+    scales: jax.Array
+    bits: int  # 8 or 4
+
+
+# bits is static (selects the kernel's unpack path); keep it out of the traced
+# leaves so QuantizedTensor can cross jit boundaries.
+jax.tree_util.register_pytree_node(
+    QuantizedTensor,
+    lambda qt: ((qt.values, qt.scales), qt.bits),
+    lambda bits, leaves: QuantizedTensor(leaves[0], leaves[1], bits),
+)
+
+
+def quantize_int8(w, axis: int = 0) -> QuantizedTensor:
+    """Symmetric per-channel int8 quantization; ``axis`` is the contraction
+    (reduced) axis, scales live on the remaining axis."""
+    w = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return QuantizedTensor(q, scale.squeeze(axis), 8)
+
+
+def quantize_int4(w, axis: int = 0) -> QuantizedTensor:
+    """Symmetric per-channel int4; packs pairs along ``axis`` into int8."""
+    if axis != 0:
+        raise NotImplementedError("int4 packing implemented for axis=0")
+    k, n = w.shape
+    if k % 2 != 0:
+        raise ValueError("contraction dim must be even for int4 packing")
+    w = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=0, keepdims=True)
+    scale = jnp.maximum(amax / 7.0, 1e-8)
+    q = jnp.clip(jnp.round(w / scale), -7, 7).astype(jnp.int32)
+    lo = q[0::2] & 0xF          # (k//2, n)
+    hi = (q[1::2] & 0xF) << 4
+    packed = (lo | hi).astype(jnp.int8)
+    return QuantizedTensor(packed, scale.squeeze(0), 4)
+
+
+def dequantize(qt: QuantizedTensor) -> jax.Array:
+    """Reference (plain-JAX) dequantization to fp32."""
+    if qt.bits == 8:
+        return qt.values.astype(jnp.float32) * qt.scales[None, :]
+    v = qt.values.astype(jnp.int32)
+    lo = (v << 28) >> 28        # sign-extend low nibble
+    hi = (v << 24) >> 28        # sign-extend high nibble
+    k2, n = v.shape
+    w = jnp.stack([lo, hi], axis=1).reshape(2 * k2, n)
+    return w.astype(jnp.float32) * qt.scales[None, :]
+
+
+def _qmm_kernel(x_ref, w_ref, scale_ref, o_ref, acc_ref, *, bits: int,
+                block_k: int):
+    """One (block_m, block_n) output tile; grid dim 2 walks the contraction."""
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]  # (bm, bk) activation dtype
+    if bits == 8:
+        w = w_ref[...].astype(x.dtype)  # (bk, bn)
+    else:
+        v = w_ref[...].astype(jnp.int32)            # (bk//2, bn) packed
+        lo = (v << 28) >> 28
+        hi = (v << 24) >> 28
+        w = jnp.concatenate([lo, hi], axis=1)        # (bk//2, 2*bn)
+        # rows 2i, 2i+1 were packed into row i: restore (bk, bn) order
+        w = w.reshape(v.shape[0], 2, v.shape[1]).reshape(2 * v.shape[0],
+                                                         v.shape[1])
+        w = w.astype(x.dtype)
+    acc_ref[...] += jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _store():
+        scale = scale_ref[...]  # (8, bn) broadcast sublanes; row 0 used
+        o_ref[...] = (acc_ref[...] * scale[:1]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
+                                             "interpret", "out_dtype"))
+def quantized_matmul(
+    x,                   # (m, k) bf16/f32 activations
+    w: QuantizedTensor,  # logical (k, n)
+    *,
+    block_m: int = 256,
+    block_n: int = 512,
+    block_k: int = 512,
+    out_dtype=None,
+    interpret: bool | None = None,
+):
+    """y = x @ dequant(w): weight-only quantized matmul.
+
+    Per-channel scales are applied to the fp32 accumulator tile, which is
+    exact: sum_k x_k (q_kn s_n) == (sum_k x_k q_kn) s_n.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == 'cpu'
+    m, k = x.shape
+    n = w.scales.shape[0]
+    out_dtype = out_dtype or x.dtype
+    block_m = min(block_m, _round_up(m, 8))
+    block_n = min(block_n, n)
+    block_k = min(block_k, k)
+    if k % block_k or n % block_n:
+        raise ValueError(f"k={k} % block_k={block_k} or n={n} % block_n={block_n} != 0")
+    mp = _round_up(m, block_m)
+    if mp != m:
+        x = jnp.pad(x, ((0, mp - m), (0, 0)))
+
+    pack = 1 if w.bits == 8 else 2
+    scales8 = jnp.broadcast_to(w.scales.astype(jnp.float32)[None, :], (8, n))
+
+    y = pl.pallas_call(
+        functools.partial(_qmm_kernel, bits=w.bits, block_k=block_k),
+        grid=(mp // block_m, n // block_n, k // block_k),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((block_k // pack, block_n), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((8, block_n), lambda i, j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * n * k,
+            bytes_accessed=mp * k * x.dtype.itemsize + k * n // pack + mp * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w.values, scales8)
+    return y[:m]
+
+
+def quantize_kv_pages(pages):
+    """Per-token symmetric int8 quantization of KV pages.
+
+    pages: (num_kv_heads, total_pages, page_size, head_dim) float.
+    Returns (values int8 same shape, scales (hk, pages, page_size, 128) f32)
+    — scales broadcast along a 128-lane axis so page DMAs stay (8, 128)-tiled
+    (the layout ``ops.paged_attention`` consumes).
+    """
+    p = pages.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(p), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(p / scale), -127, 127).astype(jnp.int8)
+    scales = jnp.broadcast_to(scale, (*scale.shape[:-1], 128))
+    return q, scales
+
+
+def _round_up(a: int, b: int) -> int:
+    return ((a + b - 1) // b) * b

@@ -1,0 +1,173 @@
+"""Single-host serving engine: continuous batching over the paged KV cache.
+
+Orchestrates the pieces: the native page allocator (serving.native), the
+FCFS scheduler (serving.scheduler), the Llama model (models.llama) and the
+Pallas kernels (dense flash attention for prefill, paged attention for
+decode). The reference has none of this (kernel library only); it is the
+north-star serving layer.
+
+Flow per ``step()``:
+ 1. admit waiting requests -> prefill each (dense flash attention), scatter
+    its K/V into freshly allocated pages;
+ 2. grow every running sequence by one cache slot (preempting on pressure);
+ 3. one jitted ``decode_step`` for the whole running batch (padded to the
+    next power of two with dummy length-1 rows aimed at a trash page);
+ 4. greedy-sample; retire finished sequences.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flash_attention_tpu.models import llama
+from flash_attention_tpu.serving.native import PagedRuntime
+from flash_attention_tpu.serving.scheduler import Request, Scheduler
+
+
+def _round_up(a, b):
+    return -(-a // b) * b
+
+
+class Engine:
+    def __init__(
+        self,
+        cfg: llama.LlamaConfig,
+        params,
+        *,
+        total_pages: int = 512,
+        page_size: int = 64,
+        max_batch: int = 8,
+        max_seq_len: int = 2048,
+        kv_dtype=jnp.bfloat16,
+        native_allocator: bool | None = None,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.page_size = page_size
+        self.max_seq_len = max_seq_len
+        # +1 slot/page budget for the trash page dummy rows write into
+        self.rt = PagedRuntime(total_pages, page_size, max_seqs=max_batch + 1,
+                               native=native_allocator)
+        trash_slot = self.rt.seq_alloc(1)
+        assert trash_slot >= 0
+        self.trash_page = self.rt.seq_page_table(trash_slot, 1)[0]
+        self.sched = Scheduler(self.rt, max_batch=max_batch,
+                               reserve_pages=max_batch)
+        # page table width: one batch row must span max_seq_len, padded to a
+        # multiple of the kernel's pages_per_block (8)
+        self.pages_per_seq = _round_up(_round_up(max_seq_len, page_size)
+                                       // page_size, 8)
+        L, hk, hd = cfg.n_layers, cfg.n_kv_heads, cfg.head_dim
+        self.k_pages = jnp.zeros((L, hk, total_pages, page_size, hd), kv_dtype)
+        self.v_pages = jnp.zeros_like(self.k_pages)
+        self._uid = 0
+        self.stats = {"decode_steps": 0, "decode_tokens": 0,
+                      "prefill_tokens": 0, "decode_time": 0.0,
+                      "prefill_time": 0.0}
+
+    # ------------------------------------------------------------- requests
+    def add_request(self, prompt: list[int], max_new_tokens: int,
+                    eos_id: int | None = None) -> Request:
+        self._uid += 1
+        req = Request(self._uid, list(prompt), max_new_tokens, eos_id=eos_id)
+        self.sched.add(req)
+        return req
+
+    # -------------------------------------------------------------- prefill
+    def _prefill(self, req: Request) -> int:
+        """Run the prompt, write K/V pages, return the first sampled token."""
+        t0 = time.perf_counter()
+        # bucket prompt lengths (pad to the next power of two, min 32) so the
+        # jitted prefill compiles once per bucket, not once per length; pad
+        # tokens sit after the prompt so causal masking isolates them and the
+        # page writer slices them off.
+        n = len(req.prompt)
+        bucket = max(32, 1 << (n - 1).bit_length())
+        tokens = jnp.asarray(req.prompt + [0] * (bucket - n), jnp.int32)[None]
+        logits, ks, vs = llama.prefill(self.params, tokens, self.cfg)
+        n_pages = self.rt.seq_num_pages(req.slot)
+        page_ids = jnp.asarray(self.rt.seq_page_table(req.slot, n_pages),
+                               jnp.int32)
+        self.k_pages, self.v_pages = llama.write_prefill_to_pages(
+            self.k_pages, self.v_pages, (ks, vs), page_ids,
+            len(req.prompt), self.page_size)
+        first = int(jnp.argmax(logits[0, n - 1]))
+        self.stats["prefill_tokens"] += len(req.prompt)
+        self.stats["prefill_time"] += time.perf_counter() - t0
+        return first
+
+    # --------------------------------------------------------------- decode
+    def _decode_batch(self, reqs: list[Request], tokens: list[int]):
+        """One decode step for ``reqs``; returns the next token per request."""
+        t0 = time.perf_counter()
+        n = len(reqs)
+        bsz = max(1, 1 << (n - 1).bit_length())  # pad to pow2: few jit shapes
+        tok = np.zeros((bsz,), np.int32)
+        lengths = np.ones((bsz,), np.int32)
+        tables = np.full((bsz, self.pages_per_seq), self.trash_page, np.int32)
+        wpage = np.full((bsz,), self.trash_page, np.int32)
+        woff = np.zeros((bsz,), np.int32)
+        for i, (r, t) in enumerate(zip(reqs, tokens)):
+            ln = self.rt.seq_length(r.slot)  # already grown for this token
+            tok[i] = t
+            lengths[i] = ln
+            tables[i] = self.rt.seq_page_table(r.slot, self.pages_per_seq,
+                                               pad=self.trash_page)
+            wpage[i] = tables[i][(ln - 1) // self.page_size]
+            woff[i] = (ln - 1) % self.page_size
+        logits, self.k_pages, self.v_pages = llama.decode_step(
+            self.params, self.k_pages, self.v_pages,
+            jnp.asarray(tok), jnp.asarray(lengths), jnp.asarray(tables),
+            jnp.asarray(wpage), jnp.asarray(woff), self.cfg)
+        out = np.asarray(jnp.argmax(logits[:n], axis=-1))
+        self.stats["decode_steps"] += 1
+        self.stats["decode_tokens"] += n
+        self.stats["decode_time"] += time.perf_counter() - t0
+        return [int(x) for x in out]
+
+    # ----------------------------------------------------------------- step
+    def step(self) -> list[Request]:
+        """One engine iteration. Returns requests finished this step."""
+        for req in self.sched.admit():
+            first = self._prefill(req)
+            req.output.append(first)
+
+        finished = []
+        # retire before decoding (a request may finish on its prefill token)
+        for req in list(self.sched.running):
+            if req.done:
+                self.sched.finish(req)
+                finished.append(req)
+
+        batch, feed = [], []
+        for req in list(self.sched.running):
+            if self.sched.grow(req):       # reserve the slot for this token
+                batch.append(req)
+                feed.append(req.output[-1])
+        if batch:
+            for req, nxt in zip(batch, self._decode_batch(batch, feed)):
+                req.output.append(nxt)
+                if req.done:
+                    self.sched.finish(req)
+                    finished.append(req)
+        return finished
+
+    def run(self, max_steps: int = 10_000) -> list[Request]:
+        done = []
+        for _ in range(max_steps):
+            if not self.sched.has_work:
+                break
+            done.extend(self.step())
+        return done
+
+    def throughput(self) -> dict:
+        s = self.stats
+        return {
+            "decode_tokens_per_s": s["decode_tokens"] / max(s["decode_time"], 1e-9),
+            "prefill_tokens_per_s": s["prefill_tokens"] / max(s["prefill_time"], 1e-9),
+            **s,
+        }

@@ -1,0 +1,192 @@
+"""ctypes binding to the native (C++) paged runtime, with a pure-Python
+fallback implementing the identical interface.
+
+The native library (``csrc/paged_runtime.cpp``) is built on first use with
+``make``; if no toolchain is available the Python fallback keeps everything
+working (same semantics, used by CI/interpret tests either way via
+``PagedRuntime(native=False)``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+
+_CSRC = pathlib.Path(__file__).resolve().parents[2] / "csrc"
+_LIB_PATH = _CSRC / "libfat_runtime.so"
+_lib = None
+
+
+def _load_native():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists():
+        try:
+            subprocess.run(["make", "-C", str(_CSRC)], check=True,
+                           capture_output=True)
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+    lib.fat_runtime_create.restype = ctypes.c_void_p
+    lib.fat_runtime_create.argtypes = [ctypes.c_int32] * 3
+    lib.fat_runtime_destroy.argtypes = [ctypes.c_void_p]
+    for name, args in [
+        ("fat_free_pages", [ctypes.c_void_p]),
+        ("fat_seq_alloc", [ctypes.c_void_p, ctypes.c_int32]),
+        ("fat_seq_append", [ctypes.c_void_p, ctypes.c_int32]),
+        ("fat_seq_length", [ctypes.c_void_p, ctypes.c_int32]),
+        ("fat_seq_num_pages", [ctypes.c_void_p, ctypes.c_int32]),
+        ("fat_can_admit", [ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]),
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int32
+        fn.argtypes = args
+    lib.fat_seq_free.restype = None
+    lib.fat_seq_free.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.fat_seq_page_table.restype = ctypes.c_int32
+    lib.fat_seq_page_table.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
+    ]
+    _lib = lib
+    return lib
+
+
+class _PyRuntime:
+    """Pure-Python mirror of csrc/paged_runtime.cpp."""
+
+    def __init__(self, total_pages: int, page_size: int, max_seqs: int):
+        self.page_size = page_size
+        self.free_list = list(range(total_pages - 1, -1, -1))
+        self.pages = [[] for _ in range(max_seqs)]
+        self.length = [0] * max_seqs
+        self.live = [False] * max_seqs
+        self.free_slots = list(range(max_seqs - 1, -1, -1))
+
+    def _pages_for(self, tokens: int) -> int:
+        return -(-tokens // self.page_size)
+
+    def free_pages(self) -> int:
+        return len(self.free_list)
+
+    def seq_alloc(self, prompt_tokens: int) -> int:
+        if not self.free_slots:
+            return -1
+        need = self._pages_for(prompt_tokens)
+        if need > len(self.free_list):
+            return -1
+        slot = self.free_slots.pop()
+        self.pages[slot] = [self.free_list.pop() for _ in range(need)]
+        self.length[slot] = prompt_tokens
+        self.live[slot] = True
+        return slot
+
+    def seq_append(self, slot: int) -> int:
+        need = self._pages_for(self.length[slot] + 1)
+        if need > len(self.pages[slot]):
+            if not self.free_list:
+                return -1
+            self.pages[slot].append(self.free_list.pop())
+        self.length[slot] += 1
+        return 0
+
+    def seq_free(self, slot: int) -> None:
+        if not self.live[slot]:
+            return
+        self.free_list.extend(self.pages[slot])
+        self.pages[slot] = []
+        self.length[slot] = 0
+        self.live[slot] = False
+        self.free_slots.append(slot)
+
+    def seq_length(self, slot: int) -> int:
+        return self.length[slot]
+
+    def seq_num_pages(self, slot: int) -> int:
+        return len(self.pages[slot])
+
+    def seq_page_table(self, slot: int, out_len: int, pad: int) -> list[int]:
+        p = self.pages[slot][:out_len]
+        return p + [pad] * (out_len - len(p))
+
+    def can_admit(self, prompt_tokens: int, reserve_pages: int) -> bool:
+        if not self.free_slots:
+            return False
+        return self._pages_for(prompt_tokens) + reserve_pages <= len(self.free_list)
+
+
+class PagedRuntime:
+    """Paged-KV block allocator + admission bookkeeping.
+
+    Thin facade over the native C++ core (preferred) or the Python fallback.
+    """
+
+    def __init__(self, total_pages: int, page_size: int, max_seqs: int,
+                 native: bool | None = None):
+        lib = _load_native() if native in (None, True) else None
+        if native is True and lib is None:
+            raise RuntimeError("native paged runtime unavailable")
+        self._lib = lib
+        if lib is not None:
+            self._h = lib.fat_runtime_create(total_pages, page_size, max_seqs)
+            self.is_native = True
+        else:
+            self._py = _PyRuntime(total_pages, page_size, max_seqs)
+            self.is_native = False
+        self.total_pages = total_pages
+        self.page_size = page_size
+        self.max_seqs = max_seqs
+
+    def __del__(self):
+        if getattr(self, "is_native", False) and self._lib is not None:
+            self._lib.fat_runtime_destroy(self._h)
+
+    def free_pages(self) -> int:
+        if self.is_native:
+            return self._lib.fat_free_pages(self._h)
+        return self._py.free_pages()
+
+    def seq_alloc(self, prompt_tokens: int) -> int:
+        if self.is_native:
+            return self._lib.fat_seq_alloc(self._h, prompt_tokens)
+        return self._py.seq_alloc(prompt_tokens)
+
+    def seq_append(self, slot: int) -> int:
+        if self.is_native:
+            return self._lib.fat_seq_append(self._h, slot)
+        return self._py.seq_append(slot)
+
+    def seq_free(self, slot: int) -> None:
+        if self.is_native:
+            self._lib.fat_seq_free(self._h, slot)
+        else:
+            self._py.seq_free(slot)
+
+    def seq_length(self, slot: int) -> int:
+        if self.is_native:
+            return self._lib.fat_seq_length(self._h, slot)
+        return self._py.seq_length(slot)
+
+    def seq_num_pages(self, slot: int) -> int:
+        if self.is_native:
+            return self._lib.fat_seq_num_pages(self._h, slot)
+        return self._py.seq_num_pages(slot)
+
+    def seq_page_table(self, slot: int, out_len: int, pad: int = 0) -> list[int]:
+        if self.is_native:
+            buf = (ctypes.c_int32 * out_len)()
+            self._lib.fat_seq_page_table(self._h, slot, buf, out_len, pad)
+            return list(buf)
+        return self._py.seq_page_table(slot, out_len, pad)
+
+    def can_admit(self, prompt_tokens: int, reserve_pages: int = 0) -> bool:
+        if self.is_native:
+            return bool(self._lib.fat_can_admit(self._h, prompt_tokens,
+                                                reserve_pages))
+        return self._py.can_admit(prompt_tokens, reserve_pages)

@@ -1,0 +1,99 @@
+"""Continuous-batching scheduler.
+
+FCFS admission over the paged-KV page budget (the native allocator's
+``can_admit``), iteration-level scheduling: every engine step decodes one
+token for every running sequence; new requests are admitted (prefilled)
+whenever slots + pages allow. If a decode step cannot allocate a page, the
+most recently admitted sequence is preempted back to the waiting queue
+(its pages freed; it will re-prefill when re-admitted).
+
+The reference has no scheduler (it is a kernel library, SURVEY.md §0); this
+subsystem is required by the serving north star.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from typing import Optional
+
+from flash_attention_tpu.serving.native import PagedRuntime
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt: list[int]            # prompt token ids
+    max_new_tokens: int
+    output: list[int] = dataclasses.field(default_factory=list)
+    slot: int = -1               # allocator slot while running
+    eos_id: Optional[int] = None
+
+    @property
+    def done(self) -> bool:
+        if self.eos_id is not None and self.output and \
+                self.output[-1] == self.eos_id:
+            return True
+        return len(self.output) >= self.max_new_tokens
+
+
+class Scheduler:
+    def __init__(self, runtime: PagedRuntime, max_batch: int,
+                 reserve_pages: int = 0):
+        self.rt = runtime
+        self.max_batch = max_batch
+        self.reserve_pages = reserve_pages
+        self.waiting: deque[Request] = deque()
+        self.running: list[Request] = []
+
+    def add(self, req: Request) -> None:
+        self.waiting.append(req)
+
+    def admit(self) -> list[Request]:
+        """Admit waiting requests while budget allows. Returns newly admitted
+        requests (caller must prefill them)."""
+        admitted = []
+        while (self.waiting and len(self.running) < self.max_batch and
+               self.rt.can_admit(len(self.waiting[0].prompt) + 1,
+                                 self.reserve_pages)):
+            req = self.waiting.popleft()
+            slot = self.rt.seq_alloc(len(req.prompt))
+            if slot < 0:
+                self.waiting.appendleft(req)
+                break
+            req.slot = slot
+            self.running.append(req)
+            admitted.append(req)
+        return admitted
+
+    def grow(self, req: Request) -> bool:
+        """Reserve cache space for one more token of ``req``. On page
+        exhaustion, preempts the newest other sequence(s) and retries; returns
+        False if ``req`` itself had to be preempted."""
+        while self.rt.seq_append(req.slot) != 0:
+            victim = None
+            for cand in reversed(self.running):
+                if cand is not req:
+                    victim = cand
+                    break
+            if victim is None:
+                self.preempt(req)
+                return False
+            self.preempt(victim)
+        return True
+
+    def preempt(self, req: Request) -> None:
+        self.rt.seq_free(req.slot)
+        req.slot = -1
+        req.output.clear()
+        self.running.remove(req)
+        self.waiting.appendleft(req)
+
+    def finish(self, req: Request) -> None:
+        self.rt.seq_free(req.slot)
+        req.slot = -1
+        self.running.remove(req)
+
+    @property
+    def has_work(self) -> bool:
+        return bool(self.waiting or self.running)

@@ -1,0 +1,62 @@
+"""Paged-attention decode kernel parity vs a dense gather oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attention_tpu.ops.paged_attention import (paged_attention,
+                                                     paged_attention_reference)
+from flash_attention_tpu.ops.quant import quantize_kv_pages
+from flash_attention_tpu.utils.metrics import assert_metrics
+
+
+def _setup(b, h, hk, d, page_size, pages_per_seq, total_pages, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(b, h, d)), jnp.float32)
+    kp = jnp.asarray(rng.normal(size=(hk, total_pages, page_size, d)),
+                     jnp.float32)
+    vp = jnp.asarray(rng.normal(size=(hk, total_pages, page_size, d)),
+                     jnp.float32)
+    pi = jnp.asarray(
+        rng.permutation(total_pages)[:b * pages_per_seq].reshape(
+            b, pages_per_seq), jnp.int32)
+    return q, kp, vp, pi
+
+
+@pytest.mark.parametrize("lengths", [
+    [100, 37, 1], [128, 128, 128], [1, 1, 1], [127, 64, 65],
+])
+@pytest.mark.parametrize("group", [1, 4])
+def test_paged_attention_parity(lengths, group):
+    hk = 2
+    q, kp, vp, pi = _setup(3, hk * group, hk, 128, 16, 8, 64)
+    lens = jnp.asarray(lengths, jnp.int32)
+    o = paged_attention(q, kp, vp, lens, pi, pages_per_block=2)
+    oref = paged_attention_reference(q, kp, vp, lens, pi)
+    assert_metrics(f"paged[{lengths},g{group}]", o, oref)
+
+
+def test_paged_attention_single_block():
+    q, kp, vp, pi = _setup(2, 4, 4, 128, 16, 4, 16)
+    lens = jnp.asarray([50, 64], jnp.int32)
+    o = paged_attention(q, kp, vp, lens, pi, pages_per_block=4)
+    oref = paged_attention_reference(q, kp, vp, lens, pi)
+    assert_metrics("paged-single-block", o, oref)
+
+
+def test_paged_attention_quantized_int8():
+    q, kp, vp, pi = _setup(3, 8, 2, 128, 16, 8, 64)
+    lens = jnp.asarray([100, 37, 1], jnp.int32)
+    kq, ks = quantize_kv_pages(kp)
+    vq, vs = quantize_kv_pages(vp)
+    o = paged_attention(q, kq, vq, lens, pi, k_scales=ks, v_scales=vs,
+                        pages_per_block=2)
+    oref = paged_attention_reference(q, kq, vq, lens, pi, k_scales=ks,
+                                     v_scales=vs)
+    # kernel vs oracle on the SAME quantized cache: tight parity
+    assert_metrics("paged-int8", o, oref)
+    # quantized vs unquantized: int8 KV error budget (looser)
+    o_fp = paged_attention_reference(q, kp, vp, lens, pi)
+    err = float(jnp.linalg.norm(o - o_fp) / jnp.linalg.norm(o_fp))
+    assert err < 0.02, f"int8 KV degradation too large: {err}"

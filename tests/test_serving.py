@@ -1,0 +1,92 @@
+"""Serving engine: allocator, scheduler, and end-to-end generation parity.
+
+The decisive test: continuous-batching generation through the paged cache
+must reproduce, token for token, a dense full-recompute greedy loop over the
+same model weights.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attention_tpu.models import llama
+from flash_attention_tpu.serving.engine import Engine
+from flash_attention_tpu.serving.native import PagedRuntime
+from flash_attention_tpu.serving.scheduler import Request, Scheduler
+
+CFG = llama.LlamaConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def params():
+    return llama.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+
+
+def _greedy_dense(params, prompt, n_new):
+    """Oracle: full recompute with dense attention each step."""
+    toks = list(prompt)
+    for _ in range(n_new):
+        logits, _, _ = llama.prefill(params, jnp.asarray(toks, jnp.int32)[None],
+                                     CFG)
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    return toks[len(prompt):]
+
+
+@pytest.mark.parametrize("native", [False, True])
+def test_allocator(native):
+    try:
+        rt = PagedRuntime(16, 4, 4, native=native)
+    except RuntimeError:
+        pytest.skip("native runtime unavailable")
+    a = rt.seq_alloc(10)
+    assert rt.seq_num_pages(a) == 3 and rt.free_pages() == 13
+    for _ in range(3):
+        assert rt.seq_append(a) == 0
+    assert rt.seq_num_pages(a) == 4 and rt.seq_length(a) == 13
+    table = rt.seq_page_table(a, 6, pad=-1)
+    assert table[4:] == [-1, -1] and len(set(table[:4])) == 4
+    rt.seq_free(a)
+    assert rt.free_pages() == 16
+
+
+def test_scheduler_preemption():
+    rt = PagedRuntime(total_pages=8, page_size=4, max_seqs=4, native=False)
+    s = Scheduler(rt, max_batch=4)
+    r1 = Request(1, [0] * 16, 4)   # 4 pages
+    r2 = Request(2, [0] * 12, 4)   # 3 pages
+    s.add(r1)
+    s.add(r2)
+    admitted = s.admit()
+    assert [r.uid for r in admitted] == [1, 2]
+    # growing r1 past its page forces r2's preemption (newest victim)
+    for _ in range(5):
+        ok = s.grow(r1)
+    assert ok and r2 in s.waiting and r2 not in s.running
+
+
+def test_engine_matches_dense_greedy(params):
+    eng = Engine(CFG, params, total_pages=96, page_size=16, max_batch=4,
+                 max_seq_len=256, kv_dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    prompts = [list(map(int, rng.integers(0, 255, size=n)))
+               for n in (5, 23, 17)]
+    reqs = [eng.add_request(p, max_new_tokens=6) for p in prompts]
+    done = eng.run()
+    assert len(done) == 3
+    for req, prompt in zip(reqs, prompts):
+        want = _greedy_dense(params, prompt, 6)
+        assert req.output == want, (req.output, want)
+
+
+def test_engine_more_requests_than_batch(params):
+    eng = Engine(CFG, params, total_pages=48, page_size=16, max_batch=2,
+                 max_seq_len=128, kv_dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    prompts = [list(map(int, rng.integers(0, 255, size=n)))
+               for n in (9, 30, 14, 21, 7)]
+    reqs = [eng.add_request(p, max_new_tokens=4) for p in prompts]
+    done = eng.run()
+    assert len(done) == 5
+    for req, prompt in zip(reqs, prompts):
+        assert req.output == _greedy_dense(params, prompt, 4)

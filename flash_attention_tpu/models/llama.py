@@ -133,17 +133,23 @@ def _rope(x, positions, theta):
         [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1).astype(x.dtype)
 
 
+def _maybe_psum(x, axis):
+    return jax.lax.psum(x, axis) if axis is not None else x
+
+
 def _layer_weights(params):
     names = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
              "norm_attn", "norm_mlp")
     return tuple(params[n] for n in names)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def prefill(params, tokens, cfg: LlamaConfig):
+@functools.partial(jax.jit, static_argnames=("cfg", "tp_axis"))
+def prefill(params, tokens, cfg: LlamaConfig, tp_axis: str | None = None):
     """Full-prompt forward. tokens: (b, s) int32.
 
     Returns (logits (b, s, vocab), k_cache (L, b, s, hk, hd), v_cache same).
+    ``tp_axis``: mesh axis name when called inside shard_map with
+    column/row-parallel weights — inserts the two per-layer psums.
     """
     b, s = tokens.shape
     x = params["embed"][tokens]  # (b, s, D)
@@ -158,10 +164,11 @@ def prefill(params, tokens, cfg: LlamaConfig):
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
         o = flash_attention(q, k, v, causal=True)
-        x = x + _mm(o.reshape(b, s, -1), wo)
+        x = x + _maybe_psum(_mm(o.reshape(b, s, -1), wo), tp_axis)
         h = _rmsnorm(x, nm, cfg.norm_eps)
-        x = x + _mm(jax.nn.silu(_mm(h, wg).astype(jnp.float32)).astype(x.dtype)
-                    * _mm(h, wu), wd)
+        mlp = _mm(jax.nn.silu(_mm(h, wg).astype(jnp.float32)).astype(x.dtype)
+                  * _mm(h, wu), wd)
+        x = x + _maybe_psum(mlp, tp_axis)
         return x, (k, v)
 
     x, (ks, vs) = jax.lax.scan(layer, x, _layer_weights(params))
@@ -170,28 +177,53 @@ def prefill(params, tokens, cfg: LlamaConfig):
     return logits, ks, vs
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1, 2))
+def _quantize_token(x):
+    """Per-token symmetric int8 over the last axis: returns (int8 values,
+    scales with the last axis reduced) — see quantize_kv_pages for the
+    packed (8, 128)-tile scale layout the cache stores."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127,
+                 127).astype(jnp.int8)
+    return q, scale[..., 0]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tp_axis"),
+                   donate_argnums=(1, 2, 3, 4))
 def decode_step(
     params,
     k_pages,       # (L, hk, total_pages, page_size, hd) — donated
     v_pages,
+    k_scales,      # (L, hk, total_pages, 8, 128) f32 or None — donated;
+                   # lane t of a page's (8, 128) tile = token t's scale
+    v_scales,
     tokens,        # (b,) int32 — the token just produced/fed per sequence
     lengths,       # (b,) int32 — sequence length INCLUDING this token
     page_tables,   # (b, pages_per_seq) int32
     write_page,    # (b,) int32 — physical page receiving this token's K/V
     write_off,     # (b,) int32 — offset within that page
     cfg: LlamaConfig,
+    tp_axis: str | None = None,
 ):
     """One decode token for a batch of sequences against the paged cache.
 
-    Returns (logits (b, vocab) f32, k_pages, v_pages).
+    With k_scales/v_scales the cache is int8 (per-token scales): this step's
+    K/V are quantized before the scatter and the paged kernel dequantizes
+    in-register after the page DMA.
+
+    Returns (logits (b, vocab) f32, k_pages, v_pages, k_scales, v_scales).
     """
     b = tokens.shape[0]
+    quantized = k_scales is not None
     x = params["embed"][tokens]  # (b, D)
     pos = (lengths - 1).astype(jnp.int32)  # 0-based position of this token
 
     def layer(x, w_and_cache):
-        (wq, wk, wv, wo, wg, wu, wd, na, nm), kp, vp = w_and_cache
+        if quantized:
+            (wq, wk, wv, wo, wg, wu, wd, na, nm), kp, vp, kps, vps = w_and_cache
+        else:
+            (wq, wk, wv, wo, wg, wu, wd, na, nm), kp, vp = w_and_cache
+            kps = vps = None
         h = _rmsnorm(x, na, cfg.norm_eps)
         q = _mm(h, wq).reshape(b, 1, cfg.n_heads, cfg.head_dim)
         k = _mm(h, wk).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
@@ -200,32 +232,50 @@ def decode_step(
         k = _rope(k, pos[:, None], cfg.rope_theta)[:, 0]  # (b, HK, hd)
         v = v[:, 0]
         # scatter this token's K/V into its page slot
+        if quantized:
+            k, ksc = _quantize_token(k)   # ksc (b, hk)
+            v, vsc = _quantize_token(v)
+            # scale tile layout (hk, P, 8, 128): lane = token offset in page
+            kps = kps.at[:, write_page, :, write_off].set(
+                jnp.broadcast_to(ksc.T[:, :, None], (*ksc.T.shape, 8))
+                .transpose(1, 0, 2))
+            vps = vps.at[:, write_page, :, write_off].set(
+                jnp.broadcast_to(vsc.T[:, :, None], (*vsc.T.shape, 8))
+                .transpose(1, 0, 2))
         kp = kp.at[:, write_page, write_off].set(
             k.transpose(1, 0, 2).astype(kp.dtype))
         vp = vp.at[:, write_page, write_off].set(
             v.transpose(1, 0, 2).astype(vp.dtype))
         o = paged_attention(q.reshape(b, -1, cfg.head_dim), kp, vp,
-                            lengths, page_tables)
-        x = x + _mm(o.reshape(b, -1), wo)
+                            lengths, page_tables, k_scales=kps, v_scales=vps)
+        x = x + _maybe_psum(_mm(o.reshape(b, -1), wo), tp_axis)
         h = _rmsnorm(x, nm, cfg.norm_eps)
-        x = x + _mm(jax.nn.silu(_mm(h, wg).astype(jnp.float32)).astype(x.dtype)
-                    * _mm(h, wu), wd)
+        mlp = _mm(jax.nn.silu(_mm(h, wg).astype(jnp.float32)).astype(x.dtype)
+                  * _mm(h, wu), wd)
+        x = x + _maybe_psum(mlp, tp_axis)
+        if quantized:
+            return x, (kp, vp, kps, vps)
         return x, (kp, vp)
 
-    x, (k_pages, v_pages) = jax.lax.scan(
-        layer, x, (_layer_weights(params), k_pages, v_pages))
+    if quantized:
+        xs = (_layer_weights(params), k_pages, v_pages, k_scales, v_scales)
+        x, (k_pages, v_pages, k_scales, v_scales) = jax.lax.scan(layer, x, xs)
+    else:
+        x, (k_pages, v_pages) = jax.lax.scan(
+            layer, x, (_layer_weights(params), k_pages, v_pages))
     x = _rmsnorm(x, params["norm_out"], cfg.norm_eps)
     logits = _mm(x, params["lm_head"]).astype(jnp.float32)
-    return logits, k_pages, v_pages
+    return logits, k_pages, v_pages, k_scales, v_scales
 
 
 def write_prefill_to_pages(k_pages, v_pages, layer_kv, page_ids, length,
-                           page_size: int):
+                           page_size: int, k_scales=None, v_scales=None):
     """Scatter one sequence's prefill K/V into its pages.
 
     layer_kv: (ks, vs) each (L, 1, s, hk, hd) from ``prefill`` (batch 1).
     page_ids: (n_pages,) int32 physical pages owned by the sequence.
-    Returns updated (k_pages, v_pages) of shape (L, hk, P, page_size, hd).
+    With k_scales/v_scales (int8 cache), values are quantized per token first.
+    Returns (k_pages, v_pages, k_scales, v_scales).
     """
     ks, vs = layer_kv
     L, _, s, hk, hd = ks.shape
@@ -238,6 +288,20 @@ def write_prefill_to_pages(k_pages, v_pages, layer_kv, page_ids, length,
         x = x.reshape(L, n_pages, page_size, hk, hd)
         return x.transpose(0, 3, 1, 2, 4)
 
-    k_pages = k_pages.at[:, :, page_ids].set(prep(ks).astype(k_pages.dtype))
-    v_pages = v_pages.at[:, :, page_ids].set(prep(vs).astype(v_pages.dtype))
-    return k_pages, v_pages
+    kp, vp = prep(ks), prep(vs)
+    if k_scales is not None:
+        kq, ksc = _quantize_token(kp)   # ksc (L, hk, n_pages, ps)
+        vq, vsc = _quantize_token(vp)
+
+        def pack(sc):  # -> (L, hk, n_pages, 8, 128): lane = token in page
+            sc = jnp.pad(sc, ((0, 0), (0, 0), (0, 0), (0, 128 - page_size)),
+                         constant_values=1.0)
+            return jnp.broadcast_to(sc[:, :, :, None, :],
+                                    (*sc.shape[:3], 8, 128))
+
+        k_scales = k_scales.at[:, :, page_ids].set(pack(ksc))
+        v_scales = v_scales.at[:, :, page_ids].set(pack(vsc))
+        kp, vp = kq, vq
+    k_pages = k_pages.at[:, :, page_ids].set(kp.astype(k_pages.dtype))
+    v_pages = v_pages.at[:, :, page_ids].set(vp.astype(v_pages.dtype))
+    return k_pages, v_pages, k_scales, v_scales

@@ -16,10 +16,14 @@ has no serving path at all (SURVEY.md §2.3); this is the TPU-native design:
   group form the MXU's M dimension.
 * Online softmax over compute blocks, identical math to the training forward
   (flash_fwd.py), with per-sequence length masking.
-* Optionally the KV pages are int8-quantized with per-token scales;
-  dequantization happens in-register after the DMA (half the page bandwidth,
-  which is the decode bottleneck), folded in before the softmax so the
-  numerics match dense attention on the dequantized cache.
+* Optionally the KV pages are int8-quantized with per-token scales, packed
+  as the lanes of one (8, 128) tile per page (the smallest slice Mosaic will
+  DMA). The scales are NOT applied to the K/V tiles: they fold into the
+  online softmax — ``s *= kscale[token]`` after the QK matmul and
+  ``p *= vscale[token]`` before the PV matmul — so dequantization costs two
+  (group, block) lane-aligned multiplies instead of a (block, head_dim)
+  tile pass, and page bandwidth drops ~1.9x vs bf16. Requires
+  page_size == 128 (scale lane == token-in-page).
 
 Every scheduled sequence must have length >= 1 (pad empty batch slots with a
 dummy length-1 sequence); the double-buffer prefetch chain relies on block 0
@@ -177,17 +181,20 @@ def _paged_attn_kernel(
         k = k_buf[slot].reshape(bk, -1)
         v = v_buf[slot].reshape(bk, -1)
         if quantized:
-            ks = k_scale_buf[slot].reshape(bk, -1).astype(jnp.float32)
-            vs = v_scale_buf[slot].reshape(bk, -1).astype(jnp.float32)
-            # dequantize at the query's precision so serving (bf16) pays no
-            # extra width and fp32 tests stay exact vs the dequant oracle
-            k = (k.astype(jnp.float32) * ks[:, :1]).astype(q_ref.dtype)
-            v = (v.astype(jnp.float32) * vs[:, :1]).astype(q_ref.dtype)
+            # int8 payloads are exact in bf16; scales fold into s/p below
+            k = k.astype(q_ref.dtype)
+            v = v.astype(q_ref.dtype)
 
         q = q_ref[0, 0]  # (group, d)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale  # (group, bk)
+        if quantized:
+            # scale tile (ppb, 8, 128): sublane 0, lane t = scale of token t
+            # of page ppb — a free relayout to a (bk,) lane vector, applied
+            # as a row-broadcast multiply on the score tile
+            ks = k_scale_buf[slot][:, 0, :].reshape(bk).astype(jnp.float32)
+            s = s * ks[None, :]
 
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(i * bk + col < length, s, MASK_VALUE)
@@ -202,6 +209,9 @@ def _paged_attn_kernel(
         m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
 
+        if quantized:
+            vs = v_scale_buf[slot][:, 0, :].reshape(bk).astype(jnp.float32)
+            p = p * vs[None, :]
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -229,7 +239,7 @@ def paged_attention(
     lengths,        # (b,) int32 — current length of each sequence (>= 1)
     page_indices,   # (b, pages_per_seq) int32
     *,
-    k_scales=None,  # (num_kv_heads, total_pages, page_size, scale_w) f32
+    k_scales=None,  # (num_kv_heads, total_pages, 8, 128) f32: lane = token
     v_scales=None,
     sm_scale: float | None = None,
     pages_per_block: int = 8,
@@ -255,6 +265,10 @@ def paged_attention(
             f"pages_per_block {pages_per_block}")
     num_blocks = pages_per_seq // pages_per_block
     quantized = k_scales is not None
+    if quantized and page_size != 128:
+        raise ValueError(
+            f"quantized KV requires page_size == 128 (scale lane = token in "
+            f"page); got {page_size}")
     if interpret is None:
         interpret = jax.default_backend() == 'cpu'
 
@@ -262,7 +276,7 @@ def paged_attention(
     q_grouped = q.reshape(b, hk, group, d)
 
     if quantized:
-        scale_shape = (2, pages_per_block, page_size, k_scales.shape[-1])
+        scale_shape = (2, pages_per_block, 8, 128)
         scale_dtype = k_scales.dtype
     else:
         # dummy buffers/arrays so the kernel arity is fixed
@@ -338,8 +352,11 @@ def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices,
     if sm_scale is None:
         sm_scale = 1.0 / d**0.5
     if k_scales is not None:
-        k_pages = k_pages.astype(jnp.float32) * k_scales[..., :1]
-        v_pages = v_pages.astype(jnp.float32) * v_scales[..., :1]
+        page_size = k_pages.shape[2]
+        ks = k_scales[:, :, 0, :page_size]  # (hk, P, ps) per-token scales
+        vs = v_scales[:, :, 0, :page_size]
+        k_pages = k_pages.astype(jnp.float32) * ks[..., None]
+        v_pages = v_pages.astype(jnp.float32) * vs[..., None]
     # (b, hk, pages_per_seq * page_size, d)
     k = k_pages[:, page_indices].transpose(1, 0, 2, 3, 4).reshape(b, hk, -1, d)
     v = v_pages[:, page_indices].transpose(1, 0, 2, 3, 4).reshape(b, hk, -1, d)

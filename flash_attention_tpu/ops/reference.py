@@ -113,3 +113,16 @@ def reference_attention(
     if return_lse:
         return o.astype(q.dtype), lse
     return o.astype(q.dtype)
+
+
+def reference_attention_bwd(q, k, v, do, causal: bool = False,
+                            sm_scale: float | None = None, **mask_kwargs):
+    """Oracle gradients (dq, dk, dv) via autodiff of the fp32 reference —
+    the role torch SDPA's autograd plays for the reference's bwd tests."""
+
+    def f(q, k, v):
+        return reference_attention(q, k, v, causal=causal, sm_scale=sm_scale,
+                                   return_lse=False, **mask_kwargs)
+
+    _, vjp = jax.vjp(f, q, k, v)
+    return vjp(do)

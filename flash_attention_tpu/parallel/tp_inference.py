@@ -1,0 +1,131 @@
+"""Tensor-parallel serving: decode and prefill sharded over a mesh axis.
+
+Megatron-style partitioning of the Llama layers across the ``model`` axis:
+
+* wq/wk/wv and w_gate/w_up are column-parallel (output features local) — the
+  attention heads and their GQA KV heads are co-located per chip, so the
+  whole attention block (including the paged-KV cache, sharded on the
+  kv-head axis) runs with **zero communication**;
+* wo and w_down are row-parallel — one ``psum`` each over ICI per layer;
+* embeddings / norms / lm_head are replicated (logits come out replicated).
+
+Implemented with ``jax.shard_map`` around the same ``models.llama`` step
+functions, driven by a head-local ``LlamaConfig`` — the single-chip code path
+IS the per-chip code path, which keeps parity trivially testable on a
+virtual CPU mesh (SURVEY.md §4.6 strategy).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from flash_attention_tpu.models import llama
+from flash_attention_tpu.ops.quant import QuantizedTensor
+
+
+def local_config(cfg: llama.LlamaConfig, tp: int) -> llama.LlamaConfig:
+    if cfg.n_heads % tp or cfg.n_kv_heads % tp or cfg.hidden_dim % tp:
+        raise ValueError(
+            f"heads {cfg.n_heads}/{cfg.n_kv_heads} and hidden {cfg.hidden_dim}"
+            f" must divide tp={tp}")
+    return dataclasses.replace(
+        cfg, n_heads=cfg.n_heads // tp, n_kv_heads=cfg.n_kv_heads // tp,
+        hidden_dim=cfg.hidden_dim // tp)
+
+
+# PartitionSpecs for the stacked-layer param tree. Column-parallel weights
+# shard their output dim; row-parallel their input dim.
+def param_specs() -> dict:
+    return {
+        "embed": P(),
+        "wq": P(None, None, "model"),
+        "wk": P(None, None, "model"),
+        "wv": P(None, None, "model"),
+        "wo": P(None, "model", None),
+        "w_gate": P(None, None, "model"),
+        "w_up": P(None, None, "model"),
+        "w_down": P(None, "model", None),
+        "norm_attn": P(),
+        "norm_mlp": P(),
+        "norm_out": P(),
+        "lm_head": P(),
+    }
+
+
+def _qt_spec(spec: P, qt: QuantizedTensor) -> QuantizedTensor:
+    """Partition specs for a QuantizedTensor leaf: values like the plain
+    weight; per-output-channel scales follow the output dim."""
+    if len(spec) == 0:  # replicated (e.g. lm_head)
+        return QuantizedTensor(P(), P(), qt.bits)  # type: ignore
+    # values (L, k, n) share the weight's spec; scales are (L, n)
+    out_axis = spec[2] if len(spec) > 2 else None
+    return QuantizedTensor(spec, P(None, out_axis), qt.bits)  # type: ignore
+
+
+def tree_specs(params) -> dict:
+    specs = param_specs()
+    out = {}
+    for k, v in params.items():
+        if isinstance(v, QuantizedTensor):
+            out[k] = _qt_spec(specs[k], v)
+        else:
+            out[k] = specs[k]
+    return out
+
+
+def tp_decode_step(params, k_pages, v_pages, tokens, lengths, page_tables,
+                   write_page, write_off, *, cfg: llama.LlamaConfig,
+                   mesh: Mesh, axis: str = "model",
+                   k_scales=None, v_scales=None):
+    """Tensor-parallel batched decode step (see module docstring).
+
+    params: full (unsharded or sharded) param tree; k_pages/v_pages
+    (L, hk, P, ps, hd), optionally int8 with per-token scales (sharded on the
+    kv-head axis like the pages). Returns (logits replicated, k_pages,
+    v_pages, k_scales, v_scales).
+    """
+    tp = mesh.shape[axis]
+    cfg_local = local_config(cfg, tp)
+    pspecs = tree_specs(params)
+    cache_spec = P(None, axis, None, None, None)
+    scale_spec = cache_spec if k_scales is not None else None
+    rep = P()
+
+    def step(params, kp, vp, kps, vps, tokens, lengths, tables, wpage, woff):
+        return llama.decode_step(
+            params, kp, vp, kps, vps, tokens, lengths, tables, wpage, woff,
+            cfg_local, tp_axis=axis)
+
+    return jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(pspecs, cache_spec, cache_spec, scale_spec, scale_spec,
+                  rep, rep, rep, rep, rep),
+        out_specs=(rep, cache_spec, cache_spec, scale_spec, scale_spec),
+        check_vma=False,
+    )(params, k_pages, v_pages, k_scales, v_scales, tokens, lengths,
+      page_tables, write_page, write_off)
+
+
+def tp_prefill(params, tokens, *, cfg: llama.LlamaConfig, mesh: Mesh,
+               axis: str = "model"):
+    """Tensor-parallel prompt forward. Returns (logits, ks, vs) with
+    ks/vs (L, b, s, hk_local-sharded, hd)."""
+    tp = mesh.shape[axis]
+    cfg_local = local_config(cfg, tp)
+    pspecs = tree_specs(params)
+    kv_spec = P(None, None, None, axis, None)
+
+    def step(params, tokens):
+        return llama.prefill(params, tokens, cfg_local, tp_axis=axis)
+
+    return jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(pspecs, P()),
+        out_specs=(P(), kv_spec, kv_spec),
+        check_vma=False,
+    )(params, tokens)

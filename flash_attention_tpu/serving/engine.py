@@ -43,6 +43,7 @@ class Engine:
         max_batch: int = 8,
         max_seq_len: int = 2048,
         kv_dtype=jnp.bfloat16,
+        kv_quant: bool = False,
         native_allocator: bool | None = None,
     ):
         self.cfg = cfg
@@ -62,8 +63,18 @@ class Engine:
         self.pages_per_seq = _round_up(_round_up(max_seq_len, page_size)
                                        // page_size, 8)
         L, hk, hd = cfg.n_layers, cfg.n_kv_heads, cfg.head_dim
+        if kv_quant:
+            kv_dtype = jnp.int8
         self.k_pages = jnp.zeros((L, hk, total_pages, page_size, hd), kv_dtype)
         self.v_pages = jnp.zeros_like(self.k_pages)
+        self.k_scales = self.v_scales = None
+        if kv_quant:
+            if page_size != 128:
+                raise ValueError("kv_quant requires page_size == 128 "
+                                 "(scale lane = token in page)")
+            self.k_scales = jnp.ones((L, hk, total_pages, 8, 128),
+                                     jnp.float32)
+            self.v_scales = jnp.ones_like(self.k_scales)
         self._uid = 0
         self.stats = {"decode_steps": 0, "decode_tokens": 0,
                       "prefill_tokens": 0, "decode_time": 0.0,
@@ -92,9 +103,11 @@ class Engine:
         n_pages = self.rt.seq_num_pages(req.slot)
         page_ids = jnp.asarray(self.rt.seq_page_table(req.slot, n_pages),
                                jnp.int32)
-        self.k_pages, self.v_pages = llama.write_prefill_to_pages(
-            self.k_pages, self.v_pages, (ks, vs), page_ids,
-            len(req.prompt), self.page_size)
+        (self.k_pages, self.v_pages, self.k_scales, self.v_scales) = \
+            llama.write_prefill_to_pages(
+                self.k_pages, self.v_pages, (ks, vs), page_ids,
+                len(req.prompt), self.page_size,
+                k_scales=self.k_scales, v_scales=self.v_scales)
         first = int(jnp.argmax(logits[0, n - 1]))
         self.stats["prefill_tokens"] += len(req.prompt)
         self.stats["prefill_time"] += time.perf_counter() - t0
@@ -119,10 +132,12 @@ class Engine:
                                                pad=self.trash_page)
             wpage[i] = tables[i][(ln - 1) // self.page_size]
             woff[i] = (ln - 1) % self.page_size
-        logits, self.k_pages, self.v_pages = llama.decode_step(
-            self.params, self.k_pages, self.v_pages,
-            jnp.asarray(tok), jnp.asarray(lengths), jnp.asarray(tables),
-            jnp.asarray(wpage), jnp.asarray(woff), self.cfg)
+        (logits, self.k_pages, self.v_pages, self.k_scales,
+         self.v_scales) = llama.decode_step(
+            self.params, self.k_pages, self.v_pages, self.k_scales,
+            self.v_scales, jnp.asarray(tok), jnp.asarray(lengths),
+            jnp.asarray(tables), jnp.asarray(wpage), jnp.asarray(woff),
+            self.cfg)
         out = np.asarray(jnp.argmax(logits[:n], axis=-1))
         self.stats["decode_steps"] += 1
         self.stats["decode_tokens"] += n

@@ -10,9 +10,18 @@ of torch SDPA).
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
+import time
 
 import jax.numpy as jnp
 import numpy as np
+
+# Failure forensics (the analogue of the reference's Excel failure dumps,
+# test_flash_attn.py:426-549): set FAT_FAIL_DUMP=<dir> to write the worst
+# elements + metrics of any failed parity gate there.
+FAIL_DUMP_ENV = "FAT_FAIL_DUMP"
+FAIL_DUMP_TOPK = 1000
 
 # The reference's backward-pass tolerance gates (test_flash_attn.py:407-414).
 # max_rel / l2 gates are effectively informational there (rtol=1000, 100).
@@ -78,5 +87,36 @@ def assert_metrics(name: str, test, ref, tols: dict | None = None) -> ErrorMetri
         failures.append(f"mean_rel {m.mean_rel:.3e} > mean_rtol {tols['mean_rtol']:.1e}")
     if m.l2_rel > tols["rtol_l2"]:
         failures.append(f"l2_rel {m.l2_rel:.3e} > rtol_l2 {tols['rtol_l2']:.1e}")
+    if failures and os.environ.get(FAIL_DUMP_ENV):
+        _dump_failure(os.environ[FAIL_DUMP_ENV], name, test, ref, m, failures)
     assert not failures, f"[{name}] parity gate failed: {'; '.join(failures)} ({m})"
     return m
+
+
+def _dump_failure(dump_dir: str, name: str, test, ref, m: ErrorMetrics,
+                  failures: list[str], topk: int = FAIL_DUMP_TOPK) -> None:
+    """Write the worst elements by absolute and relative error plus the
+    metric summary as forensics artifacts (CSV + JSON)."""
+    os.makedirs(dump_dir, exist_ok=True)
+    t = np.asarray(jnp.asarray(test, jnp.float32))
+    r = np.asarray(jnp.asarray(ref, jnp.float32))
+    diff = np.abs(t - r)
+    rel = diff / (np.abs(r) + 1e-6)
+    tag = "".join(c if c.isalnum() else "_" for c in name)
+    stamp = int(time.time() * 1000)
+    base = os.path.join(dump_dir, f"fail_{tag}_{stamp}")
+    with open(base + ".json", "w") as f:
+        json.dump({"name": name, "failures": failures,
+                   "metrics": dataclasses.asdict(m),
+                   "shape": list(t.shape)}, f, indent=2)
+    with open(base + ".csv", "w") as f:
+        f.write("rank,kind,index,test,ref,abs_err,rel_err\n")
+        for kind, score in (("abs", diff), ("rel", rel)):
+            flat = score.ravel()
+            k = min(topk, flat.size)
+            worst = np.argpartition(flat, -k)[-k:]
+            worst = worst[np.argsort(-flat[worst])]
+            for rank, idx in enumerate(worst):
+                mi = np.unravel_index(idx, t.shape)
+                f.write(f"{rank},{kind},\"{mi}\",{t[mi]:.6e},{r[mi]:.6e},"
+                        f"{diff[mi]:.6e},{rel[mi]:.6e}\n")

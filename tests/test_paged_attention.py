@@ -46,8 +46,9 @@ def test_paged_attention_single_block():
 
 
 def test_paged_attention_quantized_int8():
-    q, kp, vp, pi = _setup(3, 8, 2, 128, 16, 8, 64)
-    lens = jnp.asarray([100, 37, 1], jnp.int32)
+    # quantized path requires page_size == 128 (scale lane = token in page)
+    q, kp, vp, pi = _setup(3, 8, 2, 128, 128, 8, 64)
+    lens = jnp.asarray([800, 370, 1], jnp.int32)
     kq, ks = quantize_kv_pages(kp)
     vq, vs = quantize_kv_pages(vp)
     o = paged_attention(q, kq, vq, lens, pi, k_scales=ks, v_scales=vs,

@@ -85,3 +85,38 @@ def test_ring_inside_shard_map_lse():
     o_ref, lse_ref = reference_attention(q, k, v, causal=True)
     assert_metrics("ring lse o", o, o_ref, TOLS)
     assert_metrics("ring lse", lse, lse_ref, {"atol": 1e-2, "mean_atol": 1e-3})
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_gradients(causal):
+    """Ring attention backward (rotating dK/dV accumulators) must match the
+    dense flash-attention gradients."""
+    from jax.sharding import PartitionSpec as P
+
+    from flash_attention_tpu import flash_attention
+
+    mesh = make_mesh(data=1, model=1, context=4)
+    q, k, v = _qkv(jax.random.PRNGKey(4), 1, 256, 256, 2, 2, 64,
+                   dtype=jnp.float32)
+
+    def ring_loss(q, k, v):
+        def local(q_, k_, v_):
+            o, _ = ring_flash_attention(q_, k_, v_, "context",
+                                        causal=causal, axis_size=4)
+            return o
+
+        o = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(None, "context"),) * 3,
+            out_specs=P(None, "context"), check_vma=False,
+        )(q, k, v)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def dense_loss(q, k, v):
+        o = flash_attention(q, k, v, causal=causal)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    g = jax.grad(ring_loss, (0, 1, 2))(q, k, v)
+    g_ref = jax.grad(dense_loss, (0, 1, 2))(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), g, g_ref):
+        assert_metrics(f"ring-bwd {name}[causal={causal}]", a, b, TOLS)

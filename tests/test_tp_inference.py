@@ -1,0 +1,69 @@
+"""Tensor-parallel prefill/decode parity vs the single-device model on a
+virtual CPU mesh (SURVEY.md §4.6 hostless multi-chip strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from flash_attention_tpu.models import llama
+from flash_attention_tpu.parallel.tp_inference import tp_decode_step, tp_prefill
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs >= 2 (virtual) devices"
+)
+
+CFG = llama.LlamaConfig.tiny()  # n_heads=4, n_kv_heads=2, hidden=512
+
+
+def _mesh(tp):
+    return Mesh(np.asarray(jax.devices()[:tp]), axis_names=("model",))
+
+
+@pytest.fixture(scope="module")
+def params():
+    return llama.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+
+
+def test_tp_prefill_matches_single(params):
+    mesh = _mesh(2)
+    toks = (jnp.arange(24, dtype=jnp.int32)[None] * 7) % CFG.vocab_size
+    logits, ks, vs = llama.prefill(params, toks, CFG)
+    tlogits, tks, tvs = tp_prefill(params, toks, cfg=CFG, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(tlogits), np.asarray(logits),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(tks), np.asarray(ks),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_tp_decode_matches_single(params):
+    mesh = _mesh(2)
+    L, hk, hd = CFG.n_layers, CFG.n_kv_heads, CFG.head_dim
+    total_pages, page_size, pages_per_seq = 16, 8, 8
+    b = 2
+    rng = np.random.default_rng(0)
+
+    k_pages = jnp.asarray(rng.normal(size=(L, hk, total_pages, page_size, hd)),
+                          jnp.float32)
+    v_pages = jnp.asarray(rng.normal(size=(L, hk, total_pages, page_size, hd)),
+                          jnp.float32)
+    tokens = jnp.asarray([3, 9], jnp.int32)
+    lengths = jnp.asarray([11, 5], jnp.int32)
+    tables = jnp.asarray(rng.permutation(total_pages)[:b * pages_per_seq]
+                         .reshape(b, pages_per_seq), jnp.int32)
+    wpage = jnp.asarray([int(tables[i, (int(lengths[i]) - 1) // page_size])
+                         for i in range(b)], jnp.int32)
+    woff = (lengths - 1) % page_size
+
+    # decode_step donates the cache: each call needs its own copy
+    logits, kp1, vp1, _, _ = llama.decode_step(
+        params, jnp.array(k_pages), jnp.array(v_pages), None, None, tokens,
+        lengths, tables, wpage, woff, CFG)
+    tlogits, kp2, vp2, _, _ = tp_decode_step(
+        params, jnp.array(k_pages), jnp.array(v_pages), tokens, lengths,
+        tables, wpage, woff, cfg=CFG, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(tlogits), np.asarray(logits),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(kp2), np.asarray(kp1),
+                               rtol=1e-5, atol=1e-5)

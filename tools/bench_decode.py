@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Decode throughput benchmark: tokens/s of the jitted batched decode step
+against the paged KV cache, swept over batch size, with fp vs int8 KV.
+
+This isolates the model+kernel decode step from scheduler/RPC overhead by
+timing a chain of decode steps inside one jit (the engine's per-step host
+work and the tunnel round-trip are excluded; see bench.py for the timing
+methodology).
+
+Usage: python tools/bench_decode.py [--layers 8] [--dim 1024] ...
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flash_attention_tpu.models import llama
+
+
+def bench(cfg, params, batch, seq_len, page_size, total_pages, kv_quant,
+          n_chain=8, reps=3):
+    L, hk, hd = cfg.n_layers, cfg.n_kv_heads, cfg.head_dim
+    pages_per_seq = -(-seq_len // page_size)
+    pages_per_seq = -(-pages_per_seq // 8) * 8
+    rng = np.random.default_rng(0)
+    kv_dtype = jnp.int8 if kv_quant else jnp.bfloat16
+    k_pages = jnp.zeros((L, hk, total_pages, page_size, hd), kv_dtype)
+    v_pages = jnp.zeros_like(k_pages)
+    k_scales = v_scales = None
+    if kv_quant:
+        assert page_size == 128, "kv_quant requires page_size == 128"
+        k_scales = jnp.ones((L, hk, total_pages, 8, 128), jnp.float32)
+        v_scales = jnp.ones_like(k_scales)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, batch), jnp.int32)
+    lengths = jnp.full((batch,), seq_len, jnp.int32)
+    # non-overlapping page tables per sequence
+    tables = jnp.asarray(
+        (np.arange(batch * pages_per_seq) % total_pages)
+        .reshape(batch, pages_per_seq), jnp.int32)
+    wpage = tables[jnp.arange(batch), (seq_len - 1) // page_size]
+    woff = jnp.full((batch,), (seq_len - 1) % page_size, jnp.int32)
+
+    def chain(n):
+        @jax.jit
+        def g(params, kp, vp, kps, vps, tok):
+            for _ in range(n):
+                logits, kp, vp, kps, vps = llama.decode_step(
+                    params, kp, vp, kps, vps, tok, lengths, tables,
+                    wpage, woff, cfg)
+                tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            return jnp.sum(tok), kp, vp, kps, vps
+
+        return g
+
+    def run(f):
+        out = f(params, k_pages, v_pages, k_scales, v_scales, tokens)
+        float(out[0])
+        t0 = time.perf_counter()
+        s = None
+        for _ in range(reps):
+            s = f(params, k_pages, v_pages, k_scales, v_scales, tokens)
+            float(s[0])
+        return (time.perf_counter() - t0) / reps
+
+    t1 = run(chain(1))
+    tn = run(chain(n_chain))
+    dt = max((tn - t1) / (n_chain - 1), 1e-9)
+    return batch / dt  # tokens per second (all sequences decode one token)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=8)
+    ap.add_argument("--dim", type=int, default=1024)
+    ap.add_argument("--hidden", type=int, default=4096)
+    ap.add_argument("--heads", type=int, default=16)
+    ap.add_argument("--kv-heads", type=int, default=8)
+    ap.add_argument("--vocab", type=int, default=32000)
+    ap.add_argument("--seq-len", type=int, default=1024)
+    ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument("--total-pages", type=int, default=2048)
+    args = ap.parse_args()
+
+    cfg = llama.LlamaConfig(
+        vocab_size=args.vocab, dim=args.dim, n_layers=args.layers,
+        n_heads=args.heads, n_kv_heads=args.kv_heads, head_dim=128,
+        hidden_dim=args.hidden)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    for kv_quant in (False, True):
+        for batch in (1, 4, 8, 16):
+            tps = bench(cfg, params, batch, args.seq_len, args.page_size,
+                        args.total_pages, kv_quant)
+            print(f"# kv={'int8' if kv_quant else 'bf16'} batch={batch:3d} "
+                  f"ctx={args.seq_len} {tps:9.1f} tok/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

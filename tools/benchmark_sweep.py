@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Full benchmark sweep — the analogue of the reference's ``benchmark.sh``
+ncu sweep (``/root/reference/benchmark.sh:17-37``): forward AND backward over
+pow2 and non-pow2 sequence lengths, head dims {64, 128}, causal {False,
+True}, B=4, H=16 fp16-equivalent (bf16 on TPU), measuring kernel time,
+TFLOP/s and %-of-peak (the analogue of
+``sm__throughput.avg.pct_of_peak_sustained_elapsed``). Results go to a CSV
+(the analogue of the reference's per-config ncu CSVs) consumed by
+``tools/plot_kernels.py``.
+
+Timing uses the dependent-chain slope method (see bench.py): the axon tunnel
+acks dispatch before execution, so a scalar readback forces completion and
+chaining N applications removes the RPC constant.
+
+Usage: python tools/benchmark_sweep.py [--out bench_results.csv] [--quick]
+"""
+
+import argparse
+import csv
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from flash_attention_tpu import bwd, fwd
+
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,
+}
+
+# benchmark.sh:17-24 sweep values
+SEQLENS_POW2 = [512, 1024, 2048, 4096, 8192, 16384]
+SEQLENS_NONPOW2 = [500, 1000, 2000, 4000, 8000, 16000]
+HEAD_DIMS = [64, 128]
+BATCH, HEADS = 4, 16
+
+
+def _peak():
+    kind = jax.devices()[0].device_kind
+    for name, p in PEAK_FLOPS.items():
+        if kind.startswith(name):
+            return p
+    return 197e12
+
+
+def _time_chain(make_step, n, reps=3):
+    """Time n dependent applications ending in a scalar readback."""
+    f = jax.jit(make_step(n))
+    f()  # compile+warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(f())
+    return (time.perf_counter() - t0) / reps
+
+
+def bench_fwd(seqlen, hdim, causal, n_chain):
+    shape = (BATCH, seqlen, HEADS, hdim)
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, shape, jnp.bfloat16)
+    k = jax.random.normal(key, shape, jnp.bfloat16)
+    v = jax.random.normal(key, shape, jnp.bfloat16)
+
+    def make(n):
+        def g():
+            o = q
+            for _ in range(n):
+                o = fwd(o, k, v, is_causal=causal)[0]
+            return jnp.sum(o.astype(jnp.float32))
+        return g
+
+    t1 = _time_chain(make, 1)
+    tn = _time_chain(make, n_chain)
+    dt = max((tn - t1) / (n_chain - 1), 1e-9)
+    flops = 4 * BATCH * HEADS * seqlen * seqlen * hdim * (0.5 if causal else 1)
+    return dt, flops
+
+
+def bench_bwd(seqlen, hdim, causal, n_chain):
+    shape = (BATCH, seqlen, HEADS, hdim)
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, shape, jnp.bfloat16)
+    k = jax.random.normal(key, shape, jnp.bfloat16)
+    v = jax.random.normal(key, shape, jnp.bfloat16)
+    o, lse = jax.jit(lambda: fwd(q, k, v, is_causal=causal))()
+    do = jax.random.normal(key, shape, jnp.bfloat16)
+
+    def make(n):
+        def g():
+            dq = do
+            for _ in range(n):
+                dq, dk, dv = bwd(q, k, v, o, lse, dq, is_causal=causal)
+                # keep dk/dv live against DCE
+                dq = dq + (jnp.sum(dk.astype(jnp.float32)) * 1e-30 +
+                           jnp.sum(dv.astype(jnp.float32)) * 1e-30
+                           ).astype(dq.dtype)
+            return jnp.sum(dq.astype(jnp.float32))
+        return g
+
+    t1 = _time_chain(make, 1)
+    tn = _time_chain(make, n_chain)
+    dt = max((tn - t1) / (n_chain - 1), 1e-9)
+    # 3 matmuls (dq kernel) + 4 (dkv kernel), each 2*B*H*S*S*D
+    flops = 7 * 2 * BATCH * HEADS * seqlen * seqlen * hdim * (0.5 if causal else 1)
+    return dt, flops
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="bench_results.csv")
+    ap.add_argument("--quick", action="store_true",
+                    help="pow2 seqlens and hdim 128 only")
+    ap.add_argument("--fwd-only", action="store_true")
+    args = ap.parse_args()
+
+    peak = _peak()
+    seqlens = SEQLENS_POW2 if args.quick else SEQLENS_POW2 + SEQLENS_NONPOW2
+    hdims = [128] if args.quick else HEAD_DIMS
+
+    rows = []
+    for hdim in hdims:
+        for seqlen in seqlens:
+            n_chain = max(5, min(65, (8192 // seqlen) ** 2 * 5 + 4))
+            for causal in (False, True):
+                dirs = [("fwd", bench_fwd)]
+                if not args.fwd_only:
+                    dirs.append(("bwd", bench_bwd))
+                for direction, fn in dirs:
+                    try:
+                        dt, flops = fn(seqlen, hdim, causal, n_chain)
+                    except Exception as e:  # compile failure etc.
+                        print(f"# {direction} seq={seqlen} hd={hdim} "
+                              f"causal={causal} FAILED {str(e)[:80]}",
+                              flush=True)
+                        continue
+                    tflops = flops / dt / 1e12
+                    pct = 100 * flops / dt / peak
+                    rows.append(dict(direction=direction, seqlen=seqlen,
+                                     head_dim=hdim, causal=int(causal),
+                                     batch=BATCH, heads=HEADS,
+                                     time_ms=dt * 1e3, tflops=tflops,
+                                     pct_of_peak=pct))
+                    print(f"# {direction} seq={seqlen:6d} hd={hdim:4d} "
+                          f"causal={int(causal)} {tflops:7.1f} TFLOP/s "
+                          f"{pct:5.1f}% peak {dt*1e3:9.3f} ms", flush=True)
+
+    with open(args.out, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"# wrote {len(rows)} rows to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

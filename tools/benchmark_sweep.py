@@ -50,13 +50,16 @@ def _peak():
     return 197e12
 
 
-def _time_chain(make_step, n, reps=3):
-    """Time n dependent applications ending in a scalar readback."""
+def _time_chain(make_step, n, args, reps=3):
+    """Time n dependent applications ending in a scalar readback. The
+    operands are jit ARGUMENTS, not captured constants — capturing embeds
+    them in the serialized graph and blows the remote-compile request size
+    at long sequence lengths."""
     f = jax.jit(make_step(n))
-    f()  # compile+warm
+    float(f(*args))  # compile+warm
     t0 = time.perf_counter()
     for _ in range(reps):
-        float(f())
+        float(f(*args))
     return (time.perf_counter() - t0) / reps
 
 
@@ -68,15 +71,15 @@ def bench_fwd(seqlen, hdim, causal, n_chain):
     v = jax.random.normal(key, shape, jnp.bfloat16)
 
     def make(n):
-        def g():
+        def g(q, k, v):
             o = q
             for _ in range(n):
                 o = fwd(o, k, v, is_causal=causal)[0]
             return jnp.sum(o.astype(jnp.float32))
         return g
 
-    t1 = _time_chain(make, 1)
-    tn = _time_chain(make, n_chain)
+    t1 = _time_chain(make, 1, (q, k, v))
+    tn = _time_chain(make, n_chain, (q, k, v))
     dt = max((tn - t1) / (n_chain - 1), 1e-9)
     flops = 4 * BATCH * HEADS * seqlen * seqlen * hdim * (0.5 if causal else 1)
     return dt, flops
@@ -88,11 +91,12 @@ def bench_bwd(seqlen, hdim, causal, n_chain):
     q = jax.random.normal(key, shape, jnp.bfloat16)
     k = jax.random.normal(key, shape, jnp.bfloat16)
     v = jax.random.normal(key, shape, jnp.bfloat16)
-    o, lse = jax.jit(lambda: fwd(q, k, v, is_causal=causal))()
+    o, lse = jax.jit(fwd, static_argnames=("is_causal",))(
+        q, k, v, is_causal=causal)
     do = jax.random.normal(key, shape, jnp.bfloat16)
 
     def make(n):
-        def g():
+        def g(q, k, v, o, lse, do):
             dq = do
             for _ in range(n):
                 dq, dk, dv = bwd(q, k, v, o, lse, dq, is_causal=causal)
@@ -103,8 +107,9 @@ def bench_bwd(seqlen, hdim, causal, n_chain):
             return jnp.sum(dq.astype(jnp.float32))
         return g
 
-    t1 = _time_chain(make, 1)
-    tn = _time_chain(make, n_chain)
+    args = (q, k, v, o, lse, do)
+    t1 = _time_chain(make, 1, args)
+    tn = _time_chain(make, n_chain, args)
     dt = max((tn - t1) / (n_chain - 1), 1e-9)
     # 3 matmuls (dq kernel) + 4 (dkv kernel), each 2*B*H*S*S*D
     flops = 7 * 2 * BATCH * HEADS * seqlen * seqlen * hdim * (0.5 if causal else 1)

@@ -45,9 +45,24 @@ class Engine:
         kv_dtype=jnp.bfloat16,
         kv_quant: bool = False,
         native_allocator: bool | None = None,
+        mesh=None,
+        tp_axis: str = "model",
     ):
         self.cfg = cfg
         self.params = params
+        # Tensor-parallel mode: weights sharded per parallel.tp_inference
+        # (column/row parallel), paged cache sharded on the kv-head axis;
+        # prefill/decode run through shard_map with two psums per layer.
+        self.mesh = mesh
+        self.tp_axis = tp_axis
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from flash_attention_tpu.parallel import tp_inference as tpi
+            specs = tpi.tree_specs(params)
+            self.params = jax.tree.map(
+                lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
+                params, specs,
+                is_leaf=lambda x: not isinstance(x, dict))
         self.page_size = page_size
         self.max_seq_len = max_seq_len
         # +1 slot/page budget for the trash page dummy rows write into
@@ -99,7 +114,12 @@ class Engine:
         n = len(req.prompt)
         bucket = max(32, 1 << (n - 1).bit_length())
         tokens = jnp.asarray(req.prompt + [0] * (bucket - n), jnp.int32)[None]
-        logits, ks, vs = llama.prefill(self.params, tokens, self.cfg)
+        if self.mesh is not None:
+            from flash_attention_tpu.parallel.tp_inference import tp_prefill
+            logits, ks, vs = tp_prefill(self.params, tokens, cfg=self.cfg,
+                                        mesh=self.mesh, axis=self.tp_axis)
+        else:
+            logits, ks, vs = llama.prefill(self.params, tokens, self.cfg)
         n_pages = self.rt.seq_num_pages(req.slot)
         page_ids = jnp.asarray(self.rt.seq_page_table(req.slot, n_pages),
                                jnp.int32)
@@ -132,12 +152,20 @@ class Engine:
                                                pad=self.trash_page)
             wpage[i] = tables[i][(ln - 1) // self.page_size]
             woff[i] = (ln - 1) % self.page_size
-        (logits, self.k_pages, self.v_pages, self.k_scales,
-         self.v_scales) = llama.decode_step(
-            self.params, self.k_pages, self.v_pages, self.k_scales,
-            self.v_scales, jnp.asarray(tok), jnp.asarray(lengths),
-            jnp.asarray(tables), jnp.asarray(wpage), jnp.asarray(woff),
-            self.cfg)
+        args = (jnp.asarray(tok), jnp.asarray(lengths), jnp.asarray(tables),
+                jnp.asarray(wpage), jnp.asarray(woff))
+        if self.mesh is not None:
+            from flash_attention_tpu.parallel.tp_inference import tp_decode_step
+            (logits, self.k_pages, self.v_pages, self.k_scales,
+             self.v_scales) = tp_decode_step(
+                self.params, self.k_pages, self.v_pages, *args, cfg=self.cfg,
+                mesh=self.mesh, axis=self.tp_axis,
+                k_scales=self.k_scales, v_scales=self.v_scales)
+        else:
+            (logits, self.k_pages, self.v_pages, self.k_scales,
+             self.v_scales) = llama.decode_step(
+                self.params, self.k_pages, self.v_pages, self.k_scales,
+                self.v_scales, *args, self.cfg)
         out = np.asarray(jnp.argmax(logits[:n], axis=-1))
         self.stats["decode_steps"] += 1
         self.stats["decode_tokens"] += n

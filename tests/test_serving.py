@@ -115,3 +115,24 @@ def test_engine_kv_quant_close_to_fp(params):
     assert q8[0] == fp[0]
     agree = sum(a == b for a, b in zip(fp, q8))
     assert agree >= 3, (fp, q8)
+
+
+def test_engine_tensor_parallel_matches_single(params):
+    """TP-sharded engine (2-way virtual mesh) reproduces the single-device
+    engine's generations exactly."""
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = Mesh(np.asarray(jax.devices()[:2]), axis_names=("model",))
+    rng = np.random.default_rng(3)
+    prompts = [list(map(int, rng.integers(0, 255, size=n))) for n in (8, 21)]
+
+    def gen(mesh_):
+        eng = Engine(CFG, params, total_pages=64, page_size=16, max_batch=2,
+                     max_seq_len=128, kv_dtype=jnp.float32, mesh=mesh_)
+        reqs = [eng.add_request(p, max_new_tokens=5) for p in prompts]
+        eng.run()
+        return [r.output for r in reqs]
+
+    assert gen(mesh) == gen(None)

@@ -21,6 +21,7 @@ plus the idiomatic differentiable entry point:
 """
 
 from flash_attention_tpu.ops.attention import (
+    SegmentIds,
     flash_attention,
     fwd,
     bwd,
@@ -28,14 +29,29 @@ from flash_attention_tpu.ops.attention import (
     varlen_bwd,
 )
 from flash_attention_tpu.ops.configs import BlockSizes
+from flash_attention_tpu.ops.paged_attention import paged_attention
+from flash_attention_tpu.ops.quant import (
+    QuantizedTensor,
+    quantize_int4,
+    quantize_int8,
+    quantize_kv_pages,
+    quantized_matmul,
+)
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "SegmentIds",
     "flash_attention",
     "fwd",
     "bwd",
     "varlen_fwd",
     "varlen_bwd",
     "BlockSizes",
+    "paged_attention",
+    "QuantizedTensor",
+    "quantize_int4",
+    "quantize_int8",
+    "quantize_kv_pages",
+    "quantized_matmul",
 ]

@@ -18,10 +18,8 @@ virtual CPU mesh (SURVEY.md §4.6 strategy).
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from flash_attention_tpu.models import llama

@@ -10,7 +10,6 @@ working (same semantics, used by CI/interpret tests either way via
 from __future__ import annotations
 
 import ctypes
-import os
 import pathlib
 import subprocess
 

@@ -50,6 +50,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pad_head_dim(d: int) -> int:
+    """Pad head_dim for kernel blocks. Mosaic accepts a last block dim equal
+    to the full array dim, so d == 64 runs unpadded (half the MXU contraction
+    but also half the FLOPs/DMA — measured ~1.6x faster than padding to 128);
+    other sizes round up to a lane multiple."""
+    if d in (64, 128, 256, 512):
+        return d
+    return _round_up(d, MIN_BLOCK)
+
+
 def _pad_seq(x, target_len: int, axis: int, value=0):
     pad = target_len - x.shape[axis]
     if pad == 0:
@@ -106,7 +116,7 @@ def _fwd_padded(q, k, v, segs, *, causal, sm_scale, block_sizes, interpret,
 
     sq_pad = _round_up(sq, min(block_sizes.block_q, _round_up(sq, MIN_BLOCK)))
     sk_pad = _round_up(sk, min(block_sizes.block_kv, _round_up(sk, MIN_BLOCK)))
-    d_pad = _round_up(d, MIN_BLOCK)
+    d_pad = _pad_head_dim(d)
 
     qp = _prep_bhsd(q, sq_pad, d_pad)
     kp = _prep_bhsd(k, sk_pad, d_pad)
@@ -271,7 +281,7 @@ def bwd(
     sq_pad = _round_up(sq_pad, min(block_sizes.block_q_dkv, _round_up(sq, MIN_BLOCK)))
     sk_pad = _round_up(sk, min(block_sizes.block_kv_dq, _round_up(sk, MIN_BLOCK)))
     sk_pad = _round_up(sk_pad, min(block_sizes.block_kv_dkv, _round_up(sk, MIN_BLOCK)))
-    d_pad = _round_up(d, MIN_BLOCK)
+    d_pad = _pad_head_dim(d)
 
     qp = _prep_bhsd(q, sq_pad, d_pad)
     kp = _prep_bhsd(k, sk_pad, d_pad)

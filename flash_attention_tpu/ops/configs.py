@@ -22,6 +22,9 @@ class BlockSizes:
     # compile, so 1024/1024 is also near the ceiling)
     block_q: int = 1024
     block_kv: int = 1024
+    # inner sub-tile of block_kv processed per online-softmax update (None =
+    # whole block); lets the next sub-tile's MXU work overlap this one's VPU
+    block_kv_inner: int | None = None
     # backward dq kernel: q-block rows owned per grid cell, kv streamed
     # (1024x1024 measured: dense bwd ~88% SOL, causal ~70%)
     block_q_dq: int = 1024
@@ -33,7 +36,7 @@ class BlockSizes:
     def __post_init__(self):
         for f in dataclasses.fields(self):
             v = getattr(self, f.name)
-            if v % MIN_BLOCK != 0:
+            if v is not None and v % MIN_BLOCK != 0:
                 raise ValueError(f"{f.name}={v} must be a multiple of {MIN_BLOCK}")
 
     @classmethod

@@ -49,6 +49,7 @@ def _fwd_kernel(
     seqlen_k: int,
     block_q: int,
     block_kv: int,
+    block_kv_inner: int,
     empty_lse: float,
 ):
     if segmented:
@@ -78,13 +79,13 @@ def _fwd_kernel(
     else:
         should_run = True
 
-    @pl.when(should_run)
-    def _run():
+    def _online_softmax_step(sub):
+        inner = block_kv_inner
         q = q_ref[0, 0]  # (block_q, d)
-        k = k_ref[0, 0]  # (block_kv, d)
+        k = k_ref[0, 0, sub * inner:(sub + 1) * inner, :]  # (inner, d)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (block_q, block_kv)
+        )  # (block_q, inner)
         s *= sm_scale
 
         # ---- masking ----
@@ -95,15 +96,18 @@ def _fwd_kernel(
         # n_masking_steps, flash_fwd_kernel.h:241-271). Masked lanes get
         # MASK_VALUE; exp(MASK_VALUE - m) underflows to exactly 0 for any
         # live row, so no second select over the tile is needed.
+        col0 = ki * block_kv + sub * inner  # global col of this sub-tile
+
         def apply_mask(s):
-            shape = (block_q, block_kv)
+            shape = (block_q, inner)
+            sl = slice(sub * inner, (sub + 1) * inner)
             if segmented:
                 q_seg = jax.lax.broadcast_in_dim(q_seg_ref[0, 0, :], shape, (0,))
-                kv_seg = jax.lax.broadcast_in_dim(kv_seg_ref[0, 0, :], shape, (1,))
+                kv_seg = jax.lax.broadcast_in_dim(kv_seg_ref[0, 0, sl], shape, (1,))
                 mask = q_seg == kv_seg
                 if causal:
                     q_pos = jax.lax.broadcast_in_dim(q_pos_ref[0, 0, :], shape, (0,))
-                    kv_pos = jax.lax.broadcast_in_dim(kv_pos_ref[0, 0, :], shape, (1,))
+                    kv_pos = jax.lax.broadcast_in_dim(kv_pos_ref[0, 0, sl], shape, (1,))
                     mask &= kv_pos <= q_pos
             elif causal:
                 # The OOB-column (padding) mask is implied: col >= seqlen_k
@@ -113,10 +117,10 @@ def _fwd_kernel(
                 col_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
                 row_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
                 off = seqlen_k - seqlen_q
-                mask = (ki * block_kv + col_ids) - (qi * block_q + row_ids) <= off
+                mask = (col0 + col_ids) - (qi * block_q + row_ids) <= off
             else:
                 col_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-                mask = (ki * block_kv + col_ids) < seqlen_k  # OOB cols (padding)
+                mask = (col0 + col_ids) < seqlen_k  # OOB cols (padding)
             return jnp.where(mask, s, MASK_VALUE)
 
         if segmented:
@@ -125,30 +129,41 @@ def _fwd_kernel(
             s = apply_mask(s)
 
         # ---- online softmax ----
-        m_prev = m_scr[...]  # (block_q, LANES)
-        l_prev = l_scr[...]
+        # all row statistics live on the (block_q, 1) leading lane of the
+        # scratch; only that lane is read or written per step
+        m_prev = m_scr[:, :1]
+        l_prev = l_scr[:, :1]
         m_curr = jnp.max(s, axis=-1, keepdims=True)  # (block_q, 1)
-        m_next = jnp.maximum(m_prev, m_curr)          # (block_q, LANES)
-        alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])  # (block_q, 1)
-        p = jnp.exp(s - m_next[:, :1])
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)              # (block_q, 1)
+        p = jnp.exp(s - m_next)
         # Fully-masked rows (m == MASK_VALUE) would give p == exp(0) == 1;
         # guard on the (block_q, 1) row vector instead of the full tile. Any
         # garbage in acc from a dead phase is wiped by alpha == 0 the moment
         # the row comes alive, and rows dead to the end have l == 0 which
         # zeroes the epilogue output.
-        row_alive = m_next[:, :1] > MASK_VALUE * 0.5
+        row_alive = m_next > MASK_VALUE * 0.5
         psum = jnp.where(row_alive, jnp.sum(p, axis=-1, keepdims=True), 0.0)
-        l_next = alpha * l_prev[:, :1] + psum
+        l_next = alpha * l_prev + psum
 
-        m_scr[...] = jnp.broadcast_to(m_next[:, :1], m_scr.shape)
-        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+        m_scr[:, :1] = m_next
+        l_scr[:, :1] = l_next
 
-        v = v_ref[0, 0]  # (block_kv, d)
+        v = v_ref[0, 0, sub * inner:(sub + 1) * inner, :]  # (inner, d)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc_scr[...] = acc_scr[...] * alpha + pv
+
+    @pl.when(should_run)
+    def _run():
+        # Two-level kv tiling: the grid step DMA'd a block_kv-wide K/V block;
+        # process it in block_kv_inner-wide sub-tiles (python-unrolled) so the
+        # next sub-tile's QK^T (MXU) overlaps this one's softmax (VPU) and the
+        # fp32 score tile stays small.
+        for sub in range(block_kv // block_kv_inner):
+            _online_softmax_step(sub)
 
     @pl.when(ki == nk - 1)
     def _store():
@@ -254,6 +269,8 @@ def flash_fwd(
         pl.BlockSpec((1, 1, 8, block_q), lambda b_, h_, qi, ki: (b_, h_, 0, qi)),
     ]
 
+    block_kv_inner = min(getattr(block_sizes, "block_kv_inner", block_kv)
+                         or block_kv, block_kv)
     kernel = functools.partial(
         _fwd_kernel,
         sm_scale=sm_scale,
@@ -263,6 +280,7 @@ def flash_fwd(
         seqlen_k=seqlen_k,
         block_q=block_q,
         block_kv=block_kv,
+        block_kv_inner=block_kv_inner,
         empty_lse=empty_lse,
     )
 

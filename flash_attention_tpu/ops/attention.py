@@ -281,7 +281,10 @@ def bwd(
     sq_pad = _round_up(sq_pad, min(block_sizes.block_q_dkv, _round_up(sq, MIN_BLOCK)))
     sk_pad = _round_up(sk, min(block_sizes.block_kv_dq, _round_up(sk, MIN_BLOCK)))
     sk_pad = _round_up(sk_pad, min(block_sizes.block_kv_dkv, _round_up(sk, MIN_BLOCK)))
-    d_pad = _pad_head_dim(d)
+    # bwd keeps head_dim padded to 128: its transposed matmuls (dV += P^T dO,
+    # dK += dS^T Q) put d on the MXU output dim, where 64-wide tiles measure
+    # ~25% slower than padded 128 (the opposite of fwd, which wins unpadded)
+    d_pad = _round_up(d, MIN_BLOCK)
 
     qp = _prep_bhsd(q, sq_pad, d_pad)
     kp = _prep_bhsd(k, sk_pad, d_pad)

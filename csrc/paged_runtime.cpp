@@ -90,8 +90,14 @@ int32_t fat_seq_alloc(void* h, int32_t prompt_tokens) {
 
 // Grow a sequence by one token. Returns 0 on success, -1 if a new page was
 // needed but the pool is exhausted (caller should preempt).
+bool bad_slot(const Runtime* rt, int32_t slot) {
+  return slot < 0 || slot >= static_cast<int32_t>(rt->seqs.size()) ||
+         !rt->seqs[slot].live;
+}
+
 int32_t fat_seq_append(void* h, int32_t slot) {
   auto* rt = static_cast<Runtime*>(h);
+  if (bad_slot(rt, slot)) return -1;
   Sequence& s = rt->seqs[slot];
   int32_t need = pages_for(rt, s.length + 1);
   if (need > static_cast<int32_t>(s.pages.size())) {
@@ -106,8 +112,8 @@ int32_t fat_seq_append(void* h, int32_t slot) {
 // Release a sequence's pages and slot.
 void fat_seq_free(void* h, int32_t slot) {
   auto* rt = static_cast<Runtime*>(h);
+  if (bad_slot(rt, slot)) return;
   Sequence& s = rt->seqs[slot];
-  if (!s.live) return;
   for (int32_t p : s.pages) rt->free_list.push_back(p);
   s.pages.clear();
   s.length = 0;
@@ -116,12 +122,15 @@ void fat_seq_free(void* h, int32_t slot) {
 }
 
 int32_t fat_seq_length(void* h, int32_t slot) {
-  return static_cast<Runtime*>(h)->seqs[slot].length;
+  auto* rt = static_cast<Runtime*>(h);
+  return bad_slot(rt, slot) ? -1 : rt->seqs[slot].length;
 }
 
 int32_t fat_seq_num_pages(void* h, int32_t slot) {
-  return static_cast<int32_t>(
-      static_cast<Runtime*>(h)->seqs[slot].pages.size());
+  auto* rt = static_cast<Runtime*>(h);
+  return bad_slot(rt, slot)
+             ? -1
+             : static_cast<int32_t>(rt->seqs[slot].pages.size());
 }
 
 // Copy the sequence's page ids into `out` (caller-sized >= num_pages, padded
@@ -129,6 +138,10 @@ int32_t fat_seq_num_pages(void* h, int32_t slot) {
 int32_t fat_seq_page_table(void* h, int32_t slot, int32_t* out,
                            int32_t out_len, int32_t pad) {
   auto* rt = static_cast<Runtime*>(h);
+  if (bad_slot(rt, slot)) {
+    for (int32_t i = 0; i < out_len; ++i) out[i] = pad;
+    return -1;
+  }
   const Sequence& s = rt->seqs[slot];
   int32_t n = static_cast<int32_t>(s.pages.size());
   int32_t i = 0;

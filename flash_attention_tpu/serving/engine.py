@@ -188,9 +188,15 @@ class Engine:
 
         batch, feed = [], []
         for req in list(self.sched.running):
+            if req.slot < 0:
+                continue  # preempted by an earlier grow() in this snapshot
             if self.sched.grow(req):       # reserve the slot for this token
                 batch.append(req)
                 feed.append(req.output[-1])
+        # a later grow() may have preempted an earlier batch member (its slot
+        # is freed and it went back to waiting) — drop those before decoding
+        live = [(r, t) for r, t in zip(batch, feed) if r.slot >= 0]
+        batch, feed = [r for r, _ in live], [t for _, t in live]
         if batch:
             for req, nxt in zip(batch, self._decode_batch(batch, feed)):
                 req.output.append(nxt)

@@ -136,3 +136,20 @@ def test_engine_tensor_parallel_matches_single(params):
         return [r.output for r in reqs]
 
     assert gen(mesh) == gen(None)
+
+
+def test_engine_preemption_mid_batch(params):
+    """A grow() that preempts an earlier member of the same decode batch must
+    not leave a freed slot in the batch (regression: stale slot read)."""
+    # pool sized so two requests admit but cannot both grow for long
+    eng = Engine(CFG, params, total_pages=7, page_size=16, max_batch=2,
+                 max_seq_len=96, kv_dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    p1 = list(map(int, rng.integers(0, 255, size=30)))  # 2 pages
+    p2 = list(map(int, rng.integers(0, 255, size=30)))  # 2 pages
+    r1 = eng.add_request(p1, max_new_tokens=40)
+    r2 = eng.add_request(p2, max_new_tokens=40)
+    done = eng.run(max_steps=500)
+    assert len(done) == 2
+    assert r1.output == _greedy_dense(params, p1, 40)
+    assert r2.output == _greedy_dense(params, p2, 40)

@@ -98,6 +98,17 @@ class Engine:
     # ------------------------------------------------------------- requests
     def add_request(self, prompt: list[int], max_new_tokens: int,
                     eos_id: int | None = None) -> Request:
+        total = len(prompt) + max_new_tokens
+        if total > self.max_seq_len:
+            raise ValueError(
+                f"prompt+max_new_tokens = {total} exceeds max_seq_len "
+                f"{self.max_seq_len}")
+        need = -(-total // self.page_size)
+        budget = self.rt.total_pages - 1 - self.sched.reserve_pages  # -trash
+        if need > budget:
+            raise ValueError(
+                f"request needs {need} pages but the pool can ever free at "
+                f"most {budget}; it would wait forever")
         self._uid += 1
         req = Request(self._uid, list(prompt), max_new_tokens, eos_id=eos_id)
         self.sched.add(req)

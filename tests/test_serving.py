@@ -153,3 +153,13 @@ def test_engine_preemption_mid_batch(params):
     assert len(done) == 2
     assert r1.output == _greedy_dense(params, p1, 40)
     assert r2.output == _greedy_dense(params, p2, 40)
+
+
+def test_engine_rejects_impossible_requests(params):
+    eng = Engine(CFG, params, total_pages=5, page_size=16, max_batch=2,
+                 max_seq_len=64, kv_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="max_seq_len"):
+        eng.add_request([1] * 60, max_new_tokens=10)
+    with pytest.raises(ValueError, match="wait forever"):
+        # 48 tokens = 3 pages > budget of 5 - 1 (trash) - 2 (reserve) = 2
+        eng.add_request([1] * 40, max_new_tokens=8)

@@ -178,21 +178,27 @@ def quantized_matmul(
     return y[:m]
 
 
-def quantize_kv_pages(pages):
-    """Per-token symmetric int8 quantization of KV pages.
+def quantize_kv_pages(pages, dtype=jnp.int8):
+    """Per-token symmetric quantization of KV pages to int8 or fp8 (e4m3).
 
     pages: (num_kv_heads, total_pages, page_size<=128, head_dim) float.
-    Returns (values int8 same shape, scales (hk, pages, 8, 128) f32): per
-    page, ONE (8, 128) tile — the smallest slice Mosaic DMAs — whose lane t
-    holds token t's scale (broadcast over the 8 sublanes). The paged kernel
+    Returns (values in ``dtype`` same shape, scales (hk, pages, 8, 128) f32):
+    per page, ONE (8, 128) tile — the smallest slice Mosaic DMAs — whose lane
+    t holds token t's scale (broadcast over the 8 sublanes). The paged kernel
     folds these into the score/probability tiles rather than dequantizing
     K/V (see ops.paged_attention).
     """
     hk, P, ps, _ = pages.shape
     p = pages.astype(jnp.float32)
     amax = jnp.max(jnp.abs(p), axis=-1, keepdims=True)
-    scale = jnp.maximum(amax / 127.0, 1e-8)
-    q = jnp.clip(jnp.round(p / scale), -127, 127).astype(jnp.int8)
+    if dtype == jnp.int8:
+        scale = jnp.maximum(amax / 127.0, 1e-8)
+        q = jnp.clip(jnp.round(p / scale), -127, 127).astype(jnp.int8)
+    elif dtype == jnp.float8_e4m3fn:
+        scale = jnp.maximum(amax / 448.0, 1e-8)  # e4m3 max finite
+        q = (p / scale).astype(jnp.float8_e4m3fn)
+    else:
+        raise ValueError(f"unsupported KV quant dtype {dtype}")
     lanes = jnp.pad(scale[..., 0], ((0, 0), (0, 0), (0, 128 - ps)),
                     constant_values=1.0)          # (hk, P, 128)
     scales = jnp.broadcast_to(lanes[:, :, None, :], (hk, P, 8, 128))

@@ -61,3 +61,21 @@ def test_paged_attention_quantized_int8():
     o_fp = paged_attention_reference(q, kp, vp, lens, pi)
     err = float(jnp.linalg.norm(o - o_fp) / jnp.linalg.norm(o_fp))
     assert err < 0.02, f"int8 KV degradation too large: {err}"
+
+
+def test_paged_attention_quantized_fp8():
+    q, kp, vp, pi = _setup(3, 8, 2, 128, 128, 8, 64)
+    lens = jnp.asarray([800, 370, 1], jnp.int32)
+    kq, ks = quantize_kv_pages(kp, dtype=jnp.float8_e4m3fn)
+    vq, vs = quantize_kv_pages(vp, dtype=jnp.float8_e4m3fn)
+    o = paged_attention(q, kq, vq, lens, pi, k_scales=ks, v_scales=vs,
+                        pages_per_block=2)
+    oref = paged_attention_reference(
+        q, kq.astype(jnp.float32), vq.astype(jnp.float32), lens, pi,
+        k_scales=ks, v_scales=vs)
+    assert_metrics("paged-fp8", o, oref)
+    o_fp = paged_attention_reference(q, kp, vp, lens, pi)
+    err = float(jnp.linalg.norm(o - o_fp) / jnp.linalg.norm(o_fp))
+    # e4m3's 3-bit mantissa: ~3% aggregate (int8 is the precision-preferred
+    # 8-bit KV path at ~0.8%; fp8 trades precision for dynamic range)
+    assert err < 0.05, f"fp8(+scales) KV degradation too large: {err}"

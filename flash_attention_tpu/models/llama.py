@@ -176,6 +176,33 @@ def prefill(params, tokens, cfg: LlamaConfig, tp_axis: str | None = None):
     return logits, ks, vs
 
 
+def _scatter_token_kv(pages, wpage, woff, val):
+    """Write one token row per sequence into its page: gather each target
+    page tile (contiguous), select the row, scatter the tile back. Orders of
+    magnitude faster than an element-granular .at[:, wpage, woff] scatter,
+    which lowers to sub-tile read-modify-writes (measured 37 ms/step on the
+    int8 scale arrays alone at batch 16 / 8 layers).
+
+    pages (hk, P, ps, hd); wpage/woff (b,); val (b, hk, hd)."""
+    ps = pages.shape[2]
+    tiles = pages[:, wpage]                     # (hk, b, ps, hd)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ps, 1), 2)
+    sel = sub == woff[None, :, None, None]
+    tiles = jnp.where(sel, val.transpose(1, 0, 2)[:, :, None, :]
+                      .astype(pages.dtype), tiles)
+    return pages.at[:, wpage].set(tiles)
+
+
+def _scatter_token_scale(scales, wpage, woff, val):
+    """Same page-tile trick for the (hk, P, 8, 128) fused-scale tiles; the
+    token's scale lives at lane == woff. val (b, hk)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 128), 3)
+    sel = lane == woff[None, :, None, None]
+    tiles = scales[:, wpage]                    # (hk, b, 8, 128)
+    tiles = jnp.where(sel, val.T[:, :, None, None], tiles)
+    return scales.at[:, wpage].set(tiles)
+
+
 def _quantize_token(x):
     """Per-token symmetric int8 over the last axis: returns (int8 values,
     scales with the last axis reduced) — see quantize_kv_pages for the
@@ -230,21 +257,15 @@ def decode_step(
         q = _rope(q, pos[:, None], cfg.rope_theta)[:, 0]  # (b, H, hd)
         k = _rope(k, pos[:, None], cfg.rope_theta)[:, 0]  # (b, HK, hd)
         v = v[:, 0]
-        # scatter this token's K/V into its page slot
+        # scatter this token's K/V into its page slot (page-tile
+        # gather/modify/scatter — see _scatter_token_kv)
         if quantized:
             k, ksc = _quantize_token(k)   # ksc (b, hk)
             v, vsc = _quantize_token(v)
-            # scale tile layout (hk, P, 8, 128): lane = token offset in page
-            kps = kps.at[:, write_page, :, write_off].set(
-                jnp.broadcast_to(ksc.T[:, :, None], (*ksc.T.shape, 8))
-                .transpose(1, 0, 2))
-            vps = vps.at[:, write_page, :, write_off].set(
-                jnp.broadcast_to(vsc.T[:, :, None], (*vsc.T.shape, 8))
-                .transpose(1, 0, 2))
-        kp = kp.at[:, write_page, write_off].set(
-            k.transpose(1, 0, 2).astype(kp.dtype))
-        vp = vp.at[:, write_page, write_off].set(
-            v.transpose(1, 0, 2).astype(vp.dtype))
+            kps = _scatter_token_scale(kps, write_page, write_off, ksc)
+            vps = _scatter_token_scale(vps, write_page, write_off, vsc)
+        kp = _scatter_token_kv(kp, write_page, write_off, k)
+        vp = _scatter_token_kv(vp, write_page, write_off, v)
         o = paged_attention(q.reshape(b, -1, cfg.head_dim), kp, vp,
                             lengths, page_tables, k_scales=kps, v_scales=vps)
         x = x + _maybe_psum(_mm(o.reshape(b, -1), wo), tp_axis)

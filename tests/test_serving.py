@@ -141,8 +141,9 @@ def test_engine_tensor_parallel_matches_single(params):
 def test_engine_preemption_mid_batch(params):
     """A grow() that preempts an earlier member of the same decode batch must
     not leave a freed slot in the batch (regression: stale slot read)."""
-    # pool sized so two requests admit but cannot both grow for long
-    eng = Engine(CFG, params, total_pages=7, page_size=16, max_batch=2,
+    # pool sized so each request fits alone (5 pages <= 9-1-2 budget) but
+    # both cannot: growth exhausts the pool and forces preemption
+    eng = Engine(CFG, params, total_pages=9, page_size=16, max_batch=2,
                  max_seq_len=96, kv_dtype=jnp.float32)
     rng = np.random.default_rng(4)
     p1 = list(map(int, rng.integers(0, 255, size=30)))  # 2 pages

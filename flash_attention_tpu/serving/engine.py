@@ -59,10 +59,11 @@ class Engine:
             from jax.sharding import NamedSharding
             from flash_attention_tpu.parallel import tp_inference as tpi
             specs = tpi.tree_specs(params)
+            # QuantizedTensor is a pytree (bits as aux), so leaves pair up
+            # values<->values_spec, scales<->scales_spec automatically
             self.params = jax.tree.map(
                 lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
-                params, specs,
-                is_leaf=lambda x: not isinstance(x, dict))
+                params, specs)
         self.page_size = page_size
         self.max_seq_len = max_seq_len
         # +1 slot/page budget for the trash page dummy rows write into

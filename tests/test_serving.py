@@ -164,3 +164,25 @@ def test_engine_rejects_impossible_requests(params):
     with pytest.raises(ValueError, match="wait forever"):
         # 48 tokens = 3 pages > budget of 5 - 1 (trash) - 2 (reserve) = 2
         eng.add_request([1] * 40, max_new_tokens=8)
+
+
+def test_engine_tp_with_quantized_weights(params):
+    """TP sharding composes with int8 weight-only quantization (the
+    QuantizedTensor pytree pairs with its spec tree leaf-wise)."""
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    qparams = llama.quantize_params(params, bits=8)
+    mesh = Mesh(np.asarray(jax.devices()[:2]), axis_names=("model",))
+    rng = np.random.default_rng(5)
+    prompt = list(map(int, rng.integers(0, 255, size=13)))
+
+    def gen(mesh_):
+        eng = Engine(CFG, qparams, total_pages=32, page_size=16, max_batch=2,
+                     max_seq_len=128, kv_dtype=jnp.float32, mesh=mesh_)
+        r = eng.add_request(prompt, max_new_tokens=5)
+        eng.run()
+        return r.output
+
+    assert gen(mesh) == gen(None)

@@ -301,10 +301,10 @@ def paged_attention(
         in_specs=[
             pl.BlockSpec((1, 1, group, d),
                          lambda b_, h_, i_, *_: (b_, h_, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # k_pages
-            pl.BlockSpec(memory_space=pltpu.ANY),  # k_scales
-            pl.BlockSpec(memory_space=pltpu.ANY),  # v_pages
-            pl.BlockSpec(memory_space=pltpu.ANY),  # v_scales
+            pl.BlockSpec(memory_space=pl.ANY),  # k_pages
+            pl.BlockSpec(memory_space=pl.ANY),  # k_scales
+            pl.BlockSpec(memory_space=pl.ANY),  # v_pages
+            pl.BlockSpec(memory_space=pl.ANY),  # v_scales
         ],
         out_specs=pl.BlockSpec((1, 1, group, d),
                                lambda b_, h_, i_, *_: (b_, h_, 0, 0)),

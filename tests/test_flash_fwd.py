@@ -40,6 +40,20 @@ SEQLEN_PAIRS = [
     (384, 640),
     (640, 384),
     (961, 1024),
+    # near-boundary stress around the reference's hot spots
+    # (test_flash_attn.py:261-343): 1023/1025 block edges, 897-961 x 1024,
+    # extreme cross shapes, and sizes just over the default 1024 block
+    (1023, 1023),
+    (1025, 1025),
+    (1024, 1023),
+    (1023, 1024),
+    (897, 1024),
+    (959, 1024),
+    (960, 1024),
+    (1, 1024),
+    (1024, 1),
+    (1025, 63),
+    (63, 1025),
 ]
 
 

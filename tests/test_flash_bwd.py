@@ -29,6 +29,12 @@ SEQLEN_PAIRS = [
     (129, 257),
     (384, 640),
     (640, 384),
+    # near-boundary stress (bwd is the reference's hardest parity surface)
+    (1023, 1023),
+    (1025, 1025),
+    (960, 1024),
+    (1, 512),
+    (512, 1),
 ]
 
 

@@ -27,16 +27,20 @@ Outputs O (q.dtype) and LSE = m + log(l) (fp32, flash_fwd_kernel.h:770).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from flash_attention_tpu.ops import segments
 from flash_attention_tpu.ops.configs import BlockSizes
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
+_FORCE_BRANCH = None  # perf-debug: "nomask"/"mask" forces the causal branch
+_SKIP_EXP = False     # perf-debug: bypass the exp (wrong numerics)
 
 
 def _fwd_kernel(
@@ -53,7 +57,8 @@ def _fwd_kernel(
     empty_lse: float,
 ):
     if segmented:
-        (q_seg_ref, kv_seg_ref, q_pos_ref, kv_pos_ref,
+        (lo_ref, hi_ref,  # scalar-prefetch (b, nq): live kv-block range
+         q_seg_ref, kv_seg_ref, q_pos_ref, kv_pos_ref,
          q_ref, k_ref, v_ref, o_ref, lse_ref,
          m_scr, l_scr, acc_scr) = refs
     else:
@@ -70,16 +75,7 @@ def _fwd_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    # Block-level causal pruning (lower-right aligned): the first allowed col
-    # for any row in this q block is <= last row's col bound.
-    if causal and not segmented:
-        off = seqlen_k - seqlen_q
-        last_row = qi * block_q + block_q - 1
-        should_run = ki * block_kv <= last_row + off
-    else:
-        should_run = True
-
-    def _online_softmax_step(sub):
+    def _online_softmax_step(sub, masked):
         inner = block_kv_inner
         q = q_ref[0, 0]  # (block_q, d)
         k = k_ref[0, 0, sub * inner:(sub + 1) * inner, :]  # (inner, d)
@@ -89,13 +85,12 @@ def _fwd_kernel(
         s *= sm_scale
 
         # ---- masking ----
-        # Interior blocks skip the iota/compare/select entirely: OOB-column
-        # masking is only needed on the last kv block (and only when the
-        # sequence was padded — static), causal masking only on blocks that
-        # straddle the diagonal (the analogue of the reference's
-        # n_masking_steps, flash_fwd_kernel.h:241-271). Masked lanes get
-        # MASK_VALUE; exp(MASK_VALUE - m) underflows to exactly 0 for any
-        # live row, so no second select over the tile is needed.
+        # ``masked`` selects the branch: interior blocks skip the
+        # iota/compare/select entirely (see the lax.switch below — the
+        # analogue of the reference's n_masking_steps,
+        # flash_fwd_kernel.h:241-271). Masked lanes get MASK_VALUE;
+        # exp(MASK_VALUE - m) underflows to exactly 0 for any live row, so no
+        # second select over the tile is needed.
         col0 = ki * block_kv + sub * inner  # global col of this sub-tile
 
         def apply_mask(s):
@@ -123,9 +118,7 @@ def _fwd_kernel(
                 mask = (col0 + col_ids) < seqlen_k  # OOB cols (padding)
             return jnp.where(mask, s, MASK_VALUE)
 
-        if segmented:
-            s = apply_mask(s)  # every block needs the segment mask
-        elif causal or seqlen_k != block_kv * pl.num_programs(3):
+        if masked:
             s = apply_mask(s)
 
         # ---- online softmax ----
@@ -136,7 +129,7 @@ def _fwd_kernel(
         m_curr = jnp.max(s, axis=-1, keepdims=True)  # (block_q, 1)
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)              # (block_q, 1)
-        p = jnp.exp(s - m_next)
+        p = (s - m_next) if _SKIP_EXP else jnp.exp(s - m_next)
         # Fully-masked rows (m == MASK_VALUE) would give p == exp(0) == 1;
         # guard on the (block_q, 1) row vector instead of the full tile. Any
         # garbage in acc from a dead phase is wiped by alpha == 0 the moment
@@ -156,14 +149,55 @@ def _fwd_kernel(
         )
         acc_scr[...] = acc_scr[...] * alpha + pv
 
-    @pl.when(should_run)
-    def _run():
+    def _run(masked):
         # Two-level kv tiling: the grid step DMA'd a block_kv-wide K/V block;
         # process it in block_kv_inner-wide sub-tiles (python-unrolled) so the
         # next sub-tile's QK^T (MXU) overlaps this one's softmax (VPU) and the
         # fp32 score tile stays small.
         for sub in range(block_kv // block_kv_inner):
-            _online_softmax_step(sub)
+            _online_softmax_step(sub, masked)
+
+    # Block-level schedule. Three states: pruned (above the causal diagonal —
+    # no compute, and the wrapper's clamped index map already elided the DMA),
+    # interior (live, no masking work at all), and masked (blocks straddling
+    # the lower-right diagonal, plus the padded tail block). A single
+    # top-level lax.switch keeps this a real branch — nesting a dynamic cond
+    # INSIDE pl.when makes Mosaic predicate both paths and causal degenerates
+    # to dense cost (measured, round 1).
+    if causal and not segmented:
+        off = seqlen_k - seqlen_q
+        last_row = qi * block_q + block_q - 1
+        should_run = ki * block_kv <= last_row + off
+        # fully unmasked iff even the FIRST row allows this block's last col
+        need_mask = ki * block_kv + block_kv - 1 > qi * block_q + off
+        if _FORCE_BRANCH == "nomask":    # perf-debug: mask-free ceiling
+            jax.lax.cond(should_run, functools.partial(_run, False),
+                         lambda: None)
+        elif _FORCE_BRANCH == "mask":    # perf-debug: round-1 behavior
+            jax.lax.cond(should_run, functools.partial(_run, True),
+                         lambda: None)
+        else:
+            state = jnp.where(should_run, jnp.where(need_mask, 2, 1), 0)
+            jax.lax.switch(state, [lambda: None,
+                                   functools.partial(_run, False),
+                                   functools.partial(_run, True)])
+    elif segmented:
+        # Live range from the precomputed per-(batch, q-block) metadata
+        # (ops.segments): blocks outside [lo, hi] have no token pair in the
+        # same segment (or are fully causal-masked) — skip them; their K/V
+        # DMAs were already elided by the clamped index maps.
+        bi = pl.program_id(0)
+        lo = lo_ref[bi, qi]
+        hi = hi_ref[bi, qi]
+        jax.lax.cond((ki >= lo) & (ki <= hi),
+                     functools.partial(_run, True), lambda: None)
+    elif seqlen_k != block_kv * nk:
+        # only the padded tail block needs the OOB-column mask
+        jax.lax.cond(ki == nk - 1,
+                     functools.partial(_run, True),
+                     functools.partial(_run, False))
+    else:
+        _run(False)
 
     @pl.when(ki == nk - 1)
     def _store():
@@ -245,17 +279,45 @@ def flash_fwd(
     in_specs = [q_spec, k_spec, v_spec]
     inputs = [q, k, v]
     if segmented:
+        # Segment-aware block skipping (ops.segments): per-(batch, q-block)
+        # [lo, hi] kv-block ranges ride in as scalar prefetch; index maps
+        # clamp the kv block index into the live range so out-of-range grid
+        # steps re-use a block and their DMA is elided, and the kernel skips
+        # their compute. Replaces round 1's full-dense segmented cost.
+        kv_lo, kv_hi = segments.block_ranges(
+            q_seg, q_pos, kv_seg, kv_pos, block_q, block_kv, causal=causal,
+            causal_dir="kv_le_q")
+
+        def kv_idx_seg(b_, qi, ki, lo_ref, hi_ref):
+            return segments.clamp_for_dma(
+                ki, lo_ref[b_, qi], hi_ref[b_, qi], nk)
+
         # Per-token metadata is stored (b, 8, s_pad) — 8 broadcast sublanes so
         # the (1, 8, block) BlockSpec satisfies TPU (8, 128) tiling.
         seg_specs = [
-            pl.BlockSpec((1, 8, block_q), lambda b_, h_, qi, ki: (b_, 0, qi)),
+            pl.BlockSpec((1, 8, block_q),
+                         lambda b_, h_, qi, ki, lo, hi: (b_, 0, qi)),
             pl.BlockSpec((1, 8, block_kv),
-                         lambda b_, h_, qi, ki: (b_, 0, kv_block_idx(qi, ki))),
-            pl.BlockSpec((1, 8, block_q), lambda b_, h_, qi, ki: (b_, 0, qi)),
+                         lambda b_, h_, qi, ki, lo, hi:
+                         (b_, 0, kv_idx_seg(b_, qi, ki, lo, hi))),
+            pl.BlockSpec((1, 8, block_q),
+                         lambda b_, h_, qi, ki, lo, hi: (b_, 0, qi)),
             pl.BlockSpec((1, 8, block_kv),
-                         lambda b_, h_, qi, ki: (b_, 0, kv_block_idx(qi, ki))),
+                         lambda b_, h_, qi, ki, lo, hi:
+                         (b_, 0, kv_idx_seg(b_, qi, ki, lo, hi))),
         ]
-        in_specs = seg_specs + in_specs
+        q_spec = pl.BlockSpec(
+            (1, 1, block_q, d),
+            lambda b_, h_, qi, ki, lo, hi: (b_, h_, qi, 0))
+        k_spec = pl.BlockSpec(
+            (1, 1, block_kv, d),
+            lambda b_, h_, qi, ki, lo, hi:
+            (b_, h_ // group, kv_idx_seg(b_, qi, ki, lo, hi), 0))
+        v_spec = pl.BlockSpec(
+            (1, 1, block_kv, d),
+            lambda b_, h_, qi, ki, lo, hi:
+            (b_, h_ // group, kv_idx_seg(b_, qi, ki, lo, hi), 0))
+        in_specs = seg_specs + [q_spec, k_spec, v_spec]
         to8 = lambda x: jnp.broadcast_to(x[:, None, :], (x.shape[0], 8, x.shape[1]))
         inputs = [to8(q_seg), to8(kv_seg), to8(q_pos), to8(kv_pos)] + inputs
 
@@ -264,13 +326,26 @@ def flash_fwd(
         # LSE (b, h, 8, sq): q rows on lanes, 8 broadcast sublanes.
         jax.ShapeDtypeStruct((b, h, 8, sq_pad), jnp.float32),
     ]
-    out_specs = [
-        pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
-        pl.BlockSpec((1, 1, 8, block_q), lambda b_, h_, qi, ki: (b_, h_, 0, qi)),
-    ]
+    if segmented:
+        out_specs = [
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda b_, h_, qi, ki, lo, hi: (b_, h_, qi, 0)),
+            pl.BlockSpec((1, 1, 8, block_q),
+                         lambda b_, h_, qi, ki, lo, hi: (b_, h_, 0, qi)),
+        ]
+    else:
+        out_specs = [
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
+            pl.BlockSpec((1, 1, 8, block_q), lambda b_, h_, qi, ki: (b_, h_, 0, qi)),
+        ]
 
     block_kv_inner = min(getattr(block_sizes, "block_kv_inner", block_kv)
                          or block_kv, block_kv)
+    if block_kv % block_kv_inner:
+        # block_kv was clamped to sk_pad above; a non-dividing inner tile
+        # would silently truncate the sub-tile loop (ADVICE r1). Snap to the
+        # largest common divisor (both are 128-multiples, so gcd is too).
+        block_kv_inner = math.gcd(block_kv, block_kv_inner)
     kernel = functools.partial(
         _fwd_kernel,
         sm_scale=sm_scale,
@@ -284,31 +359,52 @@ def flash_fwd(
         empty_lse=empty_lse,
     )
 
-    o, lse = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((block_q, LANES), jnp.float32),  # running max m
-            pltpu.VMEM((block_q, LANES), jnp.float32),  # running sum l
-            pltpu.VMEM((block_q, d), jnp.float32),      # output accumulator
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+    scratch_shapes = [
+        pltpu.VMEM((block_q, LANES), jnp.float32),  # running max m
+        pltpu.VMEM((block_q, LANES), jnp.float32),  # running sum l
+        pltpu.VMEM((block_q, d), jnp.float32),      # output accumulator
+    ]
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+    )
+    cost_estimate = pl.CostEstimate(
+        flops=int(4 * b * h * sq_pad * sk_pad * d * (0.5 if causal else 1.0)),
+        bytes_accessed=(
+            q.size * q.dtype.itemsize
+            + k.size * k.dtype.itemsize * (h // hk)
+            + v.size * v.dtype.itemsize * (h // hk)
+            + b * h * sq_pad * d * q.dtype.itemsize
         ),
-        cost_estimate=pl.CostEstimate(
-            flops=int(4 * b * h * sq_pad * sk_pad * d * (0.5 if causal else 1.0)),
-            bytes_accessed=(
-                q.size * q.dtype.itemsize
-                + k.size * k.dtype.itemsize * (h // hk)
-                + v.size * v.dtype.itemsize * (h // hk)
-                + b * h * sq_pad * d * q.dtype.itemsize
-            ),
-            transcendentals=b * h * sq_pad * sk_pad,
-        ),
-        interpret=interpret,
-        debug=debug,
-    )(*inputs)
+        transcendentals=b * h * sq_pad * sk_pad,
+    )
+    if segmented:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+        )
+        o, lse = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=compiler_params,
+            cost_estimate=cost_estimate,
+            interpret=interpret,
+            debug=debug,
+        )(kv_lo, kv_hi, *inputs)
+    else:
+        o, lse = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            compiler_params=compiler_params,
+            cost_estimate=cost_estimate,
+            interpret=interpret,
+            debug=debug,
+        )(*inputs)
     return o, lse[:, :, 0, :]

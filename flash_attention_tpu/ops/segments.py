@@ -1,0 +1,110 @@
+"""Per-block segment metadata for varlen/segmented block skipping.
+
+The reference's varlen path early-exits whole CTAs past a sequence's actual
+length (``/root/reference/src/flash_fwd_kernel.h:55-57``,
+``block_info.h:9-21``); everything else it runs densely. Here we go further,
+the TPU way: precompute, per (batch, q-block), the contiguous range of
+kv-blocks that can contain ANY unmasked (segment-matching, causally allowed)
+key — one O(total · log total) ``searchsorted`` in plain XLA — and feed the
+ranges to the kernels as scalar-prefetch arrays. The kernel skips compute
+outside the range, and clamped BlockSpec index maps elide the K/V DMAs (the
+same trick as dense-causal block pruning). A packed batch of S equal
+sequences then costs ~1/S of dense instead of the full O(total_q · total_k)
+round 1 paid (VERDICT.md weak #5).
+
+Correctness does not depend on the metadata being tight — only on it being
+an OVER-approximation. The searchsorted derivation requires the packed
+``(seg, pos)`` key to be non-decreasing along the sequence (true for
+cu_seqlens-derived layouts and for ring attention's rotating global
+positions); if a caller hands segments violating that, a jittable guard
+falls back to the full range (dense behavior, still correct).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# pad sentinels used by ops.attention when padding seg arrays to block size
+Q_PAD_SEG = -2
+KV_PAD_SEG = -1
+
+
+def _lex_keys(seg, pos, span, big):
+    """Non-decreasing int32 key per token: seg * span + pos + span//2 with
+    pad tokens (seg < 0) pushed past every real segment. ``span``/``big``
+    may be traced scalars (they must cover the POSITION RANGE, which for
+    ring attention is global — n_chips x local length — not local)."""
+    seg_f = jnp.where(seg < 0, big, seg)
+    return seg_f * span + (pos + span // 2)
+
+
+def block_ranges(
+    a_seg, a_pos,   # (b, sa): the axis we reduce over blocks (grid-owned)
+    o_seg, o_pos,   # (b, so): the axis streamed innermost
+    block_a: int,
+    block_o: int,
+    *,
+    causal: bool,
+    causal_dir: str,  # "kv_le_q": allowed iff o_pos <= a_pos (fwd/dq);
+                      # "q_ge_kv": allowed iff o_pos >= a_pos (dkv)
+):
+    """For each block of the ``a`` axis, the [lo, hi] (inclusive) range of
+    ``o``-axis blocks containing any token some a-row may attend/see.
+
+    Returns (lo_blk, hi_blk) int32 of shape (b, sa // block_a). Empty ranges
+    come back with lo > hi. Conservative fallback to the full range when the
+    o-axis key is not sorted (metadata would be invalid).
+    """
+    b, sa = a_seg.shape
+    so = o_seg.shape[1]
+    # Positions are caller-defined and may be GLOBAL (ring attention passes
+    # me*sq_local + i, far beyond the local length), so size the lex-key span
+    # from the data, as a traced scalar. An int32 overflow of seg*span would
+    # break monotonicity and is caught by the sorted_ok fallback below.
+    pmax = jnp.maximum(jnp.max(jnp.abs(a_pos)), jnp.max(jnp.abs(o_pos))) + 1
+    span = (2 * pmax).astype(jnp.int32)
+    big = jnp.int32(2**30) // span
+    o_key = _lex_keys(o_seg, o_pos, span, big)
+
+    a_seg_live = a_seg  # pads handled by the validity mask below
+    # smallest o key a row could match: its segment's first token
+    key_lo = a_seg_live * span
+    if causal and causal_dir == "q_ge_kv":
+        # o is the q axis; allowed q tokens have q_pos >= a(kv)_pos
+        key_lo = a_seg_live * span + (a_pos + span // 2)
+    # largest o key a row could match
+    key_hi = a_seg_live * span + (span - 1)
+    if causal and causal_dir == "kv_le_q":
+        # o is the kv axis; allowed kv tokens have kv_pos <= a(q)_pos
+        key_hi = a_seg_live * span + (a_pos + span // 2)
+
+    lo_tok = jax.vmap(
+        lambda ok, qk: jnp.searchsorted(ok, qk, side="left"))(o_key, key_lo)
+    hi_tok = jax.vmap(
+        lambda ok, qk: jnp.searchsorted(ok, qk, side="right"))(o_key, key_hi) - 1
+
+    valid = a_seg >= 0
+    lo_tok = jnp.where(valid, lo_tok, so)   # excluded from the block min
+    hi_tok = jnp.where(valid, hi_tok, -1)   # excluded from the block max
+
+    na = sa // block_a
+    lo_blk = jnp.min(lo_tok.reshape(b, na, block_a), axis=-1) // block_o
+    hi_blk = jnp.max(hi_tok.reshape(b, na, block_a), axis=-1)
+    hi_blk = jnp.where(hi_blk >= 0, hi_blk // block_o, -1)
+
+    # guard: metadata is only valid when the o keys are sorted
+    sorted_ok = jnp.all(o_key[:, 1:] >= o_key[:, :-1], axis=1, keepdims=True)
+    no = so // block_o
+    lo_blk = jnp.where(sorted_ok, lo_blk, 0)
+    hi_blk = jnp.where(sorted_ok, hi_blk, no - 1)
+    return lo_blk.astype(jnp.int32), hi_blk.astype(jnp.int32)
+
+
+def clamp_for_dma(idx, lo, hi, n_blocks: int):
+    """Clamp a streamed block index into [lo, hi] for BlockSpec index maps:
+    out-of-range grid steps re-use an in-range block so Pallas skips their
+    DMA entirely (copy elided when the mapped index repeats)."""
+    lo_c = jnp.clip(lo, 0, n_blocks - 1)
+    hi_c = jnp.clip(hi, lo_c, n_blocks - 1)
+    return jnp.clip(idx, lo_c, hi_c)

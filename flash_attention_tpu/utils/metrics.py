@@ -72,8 +72,13 @@ def error_metrics(test, ref, eps: float = 1e-6) -> ErrorMetrics:
     )
 
 
-def assert_metrics(name: str, test, ref, tols: dict | None = None) -> ErrorMetrics:
-    """Assert the reference's tolerance gates on (test, ref); return metrics."""
+def assert_metrics(name: str, test, ref, tols: dict | None = None,
+                   aux: dict | None = None) -> ErrorMetrics:
+    """Assert the reference's tolerance gates on (test, ref); return metrics.
+
+    ``aux``: optional named arrays (e.g. the LSE tensor alongside gradient
+    gates) written into the failure dump — the analogue of the reference's
+    full-LSE forensics sheet (test_flash_attn.py:426-549)."""
     tols = {**DEFAULT_TOLS, **(tols or {})}
     m = error_metrics(test, ref)
     failures = []
@@ -88,15 +93,18 @@ def assert_metrics(name: str, test, ref, tols: dict | None = None) -> ErrorMetri
     if m.l2_rel > tols["rtol_l2"]:
         failures.append(f"l2_rel {m.l2_rel:.3e} > rtol_l2 {tols['rtol_l2']:.1e}")
     if failures and os.environ.get(FAIL_DUMP_ENV):
-        _dump_failure(os.environ[FAIL_DUMP_ENV], name, test, ref, m, failures)
+        _dump_failure(os.environ[FAIL_DUMP_ENV], name, test, ref, m, failures,
+                      aux=aux)
     assert not failures, f"[{name}] parity gate failed: {'; '.join(failures)} ({m})"
     return m
 
 
 def _dump_failure(dump_dir: str, name: str, test, ref, m: ErrorMetrics,
-                  failures: list[str], topk: int = FAIL_DUMP_TOPK) -> None:
+                  failures: list[str], topk: int = FAIL_DUMP_TOPK,
+                  aux: dict | None = None) -> None:
     """Write the worst elements by absolute and relative error plus the
-    metric summary as forensics artifacts (CSV + JSON)."""
+    metric summary as forensics artifacts (CSV + JSON), and any ``aux``
+    tensors (LSE etc.) as an .npz sheet."""
     os.makedirs(dump_dir, exist_ok=True)
     t = np.asarray(jnp.asarray(test, jnp.float32))
     r = np.asarray(jnp.asarray(ref, jnp.float32))
@@ -109,6 +117,10 @@ def _dump_failure(dump_dir: str, name: str, test, ref, m: ErrorMetrics,
         json.dump({"name": name, "failures": failures,
                    "metrics": dataclasses.asdict(m),
                    "shape": list(t.shape)}, f, indent=2)
+    if aux:
+        np.savez(base + "_aux.npz",
+                 **{k: np.asarray(jnp.asarray(v, jnp.float32))
+                    for k, v in aux.items() if v is not None})
     with open(base + ".csv", "w") as f:
         f.write("rank,kind,index,test,ref,abs_err,rel_err\n")
         for kind, score in (("abs", diff), ("rel", rel)):

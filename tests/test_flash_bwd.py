@@ -64,16 +64,60 @@ def _check(q, k, v, do, causal, tag):
     o, lse = fwd(q, k, v, is_causal=causal)
     dq, dk, dv = bwd(q, k, v, o, lse, do, is_causal=causal)
     dq_r, dk_r, dv_r = _ref_grads(q, k, v, do, causal)
-    assert_metrics(f"dq[{tag}]", dq, dq_r, BWD_TOLS)
-    assert_metrics(f"dk[{tag}]", dk, dk_r, BWD_TOLS)
-    assert_metrics(f"dv[{tag}]", dv, dv_r, BWD_TOLS)
+    # aux LSE rides into the failure dump (the reference's forensics include
+    # the full LSE sheet next to gradient failures, test_flash_attn.py:426)
+    assert_metrics(f"dq[{tag}]", dq, dq_r, BWD_TOLS, aux={"lse": lse})
+    assert_metrics(f"dk[{tag}]", dk, dk_r, BWD_TOLS, aux={"lse": lse})
+    assert_metrics(f"dv[{tag}]", dv, dv_r, BWD_TOLS, aux={"lse": lse})
 
 
+@pytest.mark.parametrize("head_dim", [64, 128])
 @pytest.mark.parametrize("seqlen_q,seqlen_k", SEQLEN_PAIRS)
 @pytest.mark.parametrize("causal", [False, True])
-def test_bwd_parity(seqlen_q, seqlen_k, causal):
-    q, k, v, do = _setup(jax.random.PRNGKey(0), 2, seqlen_q, seqlen_k, 2, 2, 64)
-    _check(q, k, v, do, causal, f"{seqlen_q},{seqlen_k},causal={causal}")
+def test_bwd_parity(seqlen_q, seqlen_k, causal, head_dim):
+    q, k, v, do = _setup(jax.random.PRNGKey(0), 2, seqlen_q, seqlen_k, 2, 2,
+                         head_dim)
+    _check(q, k, v, do, causal,
+           f"{seqlen_q},{seqlen_k},causal={causal},d={head_dim}")
+
+
+BOUNDARY_PAIRS = [
+    (1, 1), (63, 63), (127, 128), (129, 257), (640, 384), (1023, 1023),
+    (960, 1024), (512, 1),
+]
+
+
+@pytest.mark.parametrize("batch", [1, 3])
+@pytest.mark.parametrize("seqlen_q,seqlen_k", BOUNDARY_PAIRS)
+@pytest.mark.parametrize("causal", [False, True])
+def test_bwd_batch(batch, seqlen_q, seqlen_k, causal):
+    q, k, v, do = _setup(jax.random.PRNGKey(5), batch, seqlen_q, seqlen_k,
+                         4, 2, 128)
+    _check(q, k, v, do, causal,
+           f"b={batch},{seqlen_q},{seqlen_k},causal={causal}")
+
+
+# The reference's fp16 gates scaled to bf16: bf16 carries 8 mantissa bits vs
+# fp16's 11, so per-element noise is 8x larger — the abs gates are scaled 8x
+# and so are the rel gates (mean_rtol 1e-2 -> ~1e-1; the max_rel gate stays
+# effectively informational, as in the reference where rtol=1000 is 2000x its
+# fp16 ulp — bf16 ulp noise on near-zero refs trips any finite max_rel).
+BF16_TOLS = {"atol": 4e-2, "mean_atol": 2e-3, "mean_rtol": 1e-1, "rtol": 8000.0}
+
+
+@pytest.mark.parametrize("seqlen_q,seqlen_k", BOUNDARY_PAIRS)
+@pytest.mark.parametrize("causal", [False, True])
+def test_bwd_parity_bf16(seqlen_q, seqlen_k, causal):
+    """bf16 is the dtype the benchmarks run in; gate grads there too."""
+    q, k, v, do = _setup(jax.random.PRNGKey(6), 2, seqlen_q, seqlen_k, 2, 2,
+                         128, dtype=jnp.bfloat16)
+    o, lse = fwd(q, k, v, is_causal=causal)
+    dq, dk, dv = bwd(q, k, v, o, lse, do, is_causal=causal)
+    dq_r, dk_r, dv_r = _ref_grads(q, k, v, do, causal)
+    tag = f"bf16,{seqlen_q},{seqlen_k},causal={causal}"
+    assert_metrics(f"dq[{tag}]", dq, dq_r, BF16_TOLS)
+    assert_metrics(f"dk[{tag}]", dk, dk_r, BF16_TOLS)
+    assert_metrics(f"dv[{tag}]", dv, dv_r, BF16_TOLS)
 
 
 @pytest.mark.parametrize("nheads,nheads_k", [(2, 1), (4, 2), (6, 3), (6, 1)])

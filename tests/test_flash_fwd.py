@@ -65,16 +65,62 @@ def _make_qkv(key, b, sq, sk, h, hk, d, dtype):
     return q, k, v
 
 
+@pytest.mark.parametrize("head_dim", [64, 128])
 @pytest.mark.parametrize("seqlen_q,seqlen_k", SEQLEN_PAIRS)
 @pytest.mark.parametrize("causal", [False, True])
-def test_fwd_parity(seqlen_q, seqlen_k, causal):
+def test_fwd_parity(seqlen_q, seqlen_k, causal, head_dim):
     q, k, v = _make_qkv(
-        jax.random.PRNGKey(0), 2, seqlen_q, seqlen_k, 4, 4, 64, jnp.float16
+        jax.random.PRNGKey(0), 2, seqlen_q, seqlen_k, 4, 4, head_dim,
+        jnp.float16
     )
     o, lse = fwd(q, k, v, is_causal=causal)
     o_ref, lse_ref = reference_attention(q, k, v, causal=causal)
-    assert_metrics(f"o[{seqlen_q},{seqlen_k},causal={causal}]", o, o_ref, FWD_TOLS)
-    assert_metrics(f"lse[{seqlen_q},{seqlen_k},causal={causal}]", lse, lse_ref, LSE_TOLS)
+    tag = f"{seqlen_q},{seqlen_k},causal={causal},d={head_dim}"
+    assert_metrics(f"o[{tag}]", o, o_ref, FWD_TOLS)
+    assert_metrics(f"lse[{tag}]", lse, lse_ref, LSE_TOLS)
+
+
+# subset for the batch/bf16 axes (full matrix x batch x dtype would blow
+# interpret-mode runtime; the reference runs batch {1,3} over its full matrix,
+# test_flash_attn.py:255)
+BOUNDARY_PAIRS = [
+    (1, 1), (63, 63), (127, 128), (129, 257), (640, 384), (1023, 1023),
+    (960, 1024), (1025, 63),
+]
+
+
+@pytest.mark.parametrize("batch", [1, 3])
+@pytest.mark.parametrize("seqlen_q,seqlen_k", BOUNDARY_PAIRS)
+@pytest.mark.parametrize("causal", [False, True])
+def test_fwd_batch(batch, seqlen_q, seqlen_k, causal):
+    q, k, v = _make_qkv(
+        jax.random.PRNGKey(7), batch, seqlen_q, seqlen_k, 4, 2, 128,
+        jnp.float16
+    )
+    o, lse = fwd(q, k, v, is_causal=causal)
+    o_ref, lse_ref = reference_attention(q, k, v, causal=causal)
+    tag = f"b={batch},{seqlen_q},{seqlen_k},causal={causal}"
+    assert_metrics(f"o[{tag}]", o, o_ref, FWD_TOLS)
+    assert_metrics(f"lse[{tag}]", lse, lse_ref, LSE_TOLS)
+
+
+# bf16 is the TPU performance dtype the benchmarks run in; gate it across the
+# boundary subset too (3 fewer mantissa bits than fp16 -> 8x looser gates)
+BF16_TOLS = {"atol": 4e-2, "mean_atol": 2e-3, "mean_rtol": 5e-2}
+
+
+@pytest.mark.parametrize("seqlen_q,seqlen_k", BOUNDARY_PAIRS)
+@pytest.mark.parametrize("causal", [False, True])
+def test_fwd_parity_bf16(seqlen_q, seqlen_k, causal):
+    q, k, v = _make_qkv(
+        jax.random.PRNGKey(8), 2, seqlen_q, seqlen_k, 4, 2, 128, jnp.bfloat16
+    )
+    o, lse = fwd(q, k, v, is_causal=causal)
+    o_ref, lse_ref = reference_attention(q, k, v, causal=causal)
+    tag = f"bf16,{seqlen_q},{seqlen_k},causal={causal}"
+    assert_metrics(f"o[{tag}]", o, o_ref.astype(jnp.bfloat16), BF16_TOLS)
+    assert_metrics(f"lse[{tag}]", lse, lse_ref,
+                   {"atol": 5e-2, "mean_atol": 5e-3, "mean_rtol": 5e-2})
 
 
 @pytest.mark.parametrize("nheads,nheads_k", [(2, 1), (4, 2), (6, 3), (6, 1)])

@@ -122,3 +122,66 @@ def test_segment_ids_matches_reference():
             q_positions=pos, kv_positions=pos,
         )
         assert_metrics(f"o[segments causal={causal}]", o, o_ref, TOLS)
+
+
+# ---------------------------------------------------------------------------
+# Segment-aware block skipping metadata (ops.segments)
+# ---------------------------------------------------------------------------
+
+def test_block_ranges_packed_equal_sequences():
+    """4 equal sequences packed -> each q block's live kv range is exactly
+    its own sequence's blocks (~4x fewer kv blocks than dense; the varlen
+    early-exit the reference gets from block_info.h:9-21, done block-wise)."""
+    from flash_attention_tpu.ops.attention import _varlen_segs
+    from flash_attention_tpu.ops.segments import block_ranges
+
+    seg_len, nseq, blk = 512, 4, 256
+    total = seg_len * nseq
+    cu = jnp.asarray([i * seg_len for i in range(nseq + 1)], jnp.int32)
+    q_seg, kv_seg, q_pos, kv_pos = _varlen_segs(cu, cu, total, total)
+
+    lo, hi = block_ranges(q_seg, q_pos, kv_seg, kv_pos, blk, blk,
+                          causal=False, causal_dir="kv_le_q")
+    blocks_per_seq = seg_len // blk
+    for qi in range(total // blk):
+        s = qi // blocks_per_seq
+        assert int(lo[0, qi]) == s * blocks_per_seq
+        assert int(hi[0, qi]) == (s + 1) * blocks_per_seq - 1
+    live = sum(int(hi[0, qi]) - int(lo[0, qi]) + 1 for qi in range(total // blk))
+    dense = (total // blk) ** 2
+    assert live * nseq == dense  # exactly 4x fewer kv blocks
+
+    # causal: within the sequence, hi is clamped to the diagonal block
+    lo_c, hi_c = block_ranges(q_seg, q_pos, kv_seg, kv_pos, blk, blk,
+                              causal=True, causal_dir="kv_le_q")
+    for qi in range(total // blk):
+        s = qi // blocks_per_seq
+        assert int(lo_c[0, qi]) == s * blocks_per_seq
+        assert int(hi_c[0, qi]) == qi  # equal lens: diagonal block
+
+
+def test_block_ranges_unsorted_fallback():
+    """Non-ascending segment ids -> conservative full range (correct, dense)."""
+    from flash_attention_tpu.ops.segments import block_ranges
+
+    b, s, blk = 1, 512, 128
+    seg = jnp.asarray([[1] * 256 + [0] * 256], jnp.int32)  # descending runs
+    pos = jnp.asarray([list(range(256)) + list(range(256))], jnp.int32)
+    lo, hi = block_ranges(seg, pos, seg, pos, blk, blk,
+                          causal=False, causal_dir="kv_le_q")
+    assert jnp.all(lo == 0) and jnp.all(hi == s // blk - 1)
+
+
+def test_block_ranges_pad_only_block_skips_everything():
+    """A q block of pure padding gets an empty (lo > hi) range."""
+    from flash_attention_tpu.ops.segments import block_ranges
+
+    blk = 128
+    q_seg = jnp.asarray([[0] * 128 + [-2] * 128], jnp.int32)
+    kv_seg = jnp.asarray([[0] * 256], jnp.int32)
+    q_pos = jnp.asarray([list(range(128)) + [0] * 128], jnp.int32)
+    kv_pos = jnp.asarray([list(range(256))], jnp.int32)
+    lo, hi = block_ranges(q_seg, q_pos, kv_seg, kv_pos, blk, blk,
+                          causal=False, causal_dir="kv_le_q")
+    assert int(lo[0, 0]) == 0 and int(hi[0, 0]) == 1
+    assert int(lo[0, 1]) > int(hi[0, 1])  # pad-only block: empty range

@@ -264,10 +264,15 @@ def bwd(
     block_sizes: BlockSizes | None = None,
     interpret: bool | None = None,
     segs=None,
+    parts: str = "all",
 ):
     """Backward pass: (dq, dk, dv). Parity with reference ``bwd``
     (flash_api.cpp:228-317). dk/dv have kv-head count (GQA group-reduced
-    in-kernel, replacing flash_api.cpp:265-272, 301-312 host reduction)."""
+    in-kernel, replacing flash_api.cpp:265-272, 301-312 host reduction).
+
+    ``parts``: profiling hook — "di" runs only the D=rowsum(dO∘O) preprocess
+    and returns it raw, "dq" runs K1+K2 and returns dq; "all" the full bwd
+    (see flash_bwd; mirrors the reference's per-kernel timing breakdown)."""
     b, sq, h, d = q.shape
     _, sk, hk, _ = k.shape
     if interpret is None:
@@ -302,11 +307,16 @@ def bwd(
             _pad_seq(kv_pos.astype(jnp.int32), sk_pad, 1, value=0),
         )
 
-    dq, dk, dv = _bwd_mod.flash_bwd(
+    out = _bwd_mod.flash_bwd(
         qp, kp, vp, op, lsep, dop, *seg_args,
         causal=is_causal, sm_scale=sm_scale, block_sizes=block_sizes,
-        seqlen_q=sq, seqlen_k=sk, interpret=interpret,
+        seqlen_q=sq, seqlen_k=sk, interpret=interpret, parts=parts,
     )
+    if parts == "di":
+        return out
+    if parts == "dq":
+        return jnp.swapaxes(out[:, :, :sq, :d], 1, 2).astype(q.dtype)
+    dq, dk, dv = out
     dq = jnp.swapaxes(dq[:, :, :sq, :d], 1, 2).astype(q.dtype)
     dk = jnp.swapaxes(dk[:, :, :sk, :d], 1, 2).astype(k.dtype)
     dv = jnp.swapaxes(dv[:, :, :sk, :d], 1, 2).astype(v.dtype)

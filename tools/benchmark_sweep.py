@@ -63,6 +63,21 @@ def _time_chain(make_step, n, args, reps=3):
     return (time.perf_counter() - t0) / reps
 
 
+def _slope_time(make, args, n_chain):
+    """Per-application time via the chain-slope method, guarded against RPC
+    jitter: when tn <= t1 (which round 1 silently clamped to 1e-9, emitting a
+    7,630,652%-of-peak row into the committed CSV) retry with a doubled
+    chain; give up with None rather than ever emitting the clamp."""
+    t1 = _time_chain(make, 1, args)
+    for attempt in range(3):
+        tn = _time_chain(make, n_chain, args)
+        dt = (tn - t1) / (n_chain - 1)
+        if dt > 0:
+            return dt
+        n_chain *= 2
+    return None
+
+
 def bench_fwd(seqlen, hdim, causal, n_chain):
     shape = (BATCH, seqlen, HEADS, hdim)
     key = jax.random.PRNGKey(0)
@@ -78,14 +93,16 @@ def bench_fwd(seqlen, hdim, causal, n_chain):
             return jnp.sum(o.astype(jnp.float32))
         return g
 
-    t1 = _time_chain(make, 1, (q, k, v))
-    tn = _time_chain(make, n_chain, (q, k, v))
-    dt = max((tn - t1) / (n_chain - 1), 1e-9)
+    dt = _slope_time(make, (q, k, v), n_chain)
     flops = 4 * BATCH * HEADS * seqlen * seqlen * hdim * (0.5 if causal else 1)
-    return dt, flops
+    return dt, flops, {}
 
 
 def bench_bwd(seqlen, hdim, causal, n_chain):
+    """Times the full 3-kernel backward AND the per-kernel breakdown (the
+    analogue of the reference timing dot_do_o/dq/dk_dv separately,
+    utils/plot_kernels.py:139-151): K1 via parts="di", K2 = parts="dq" - K1,
+    K3 = total - parts="dq"."""
     shape = (BATCH, seqlen, HEADS, hdim)
     key = jax.random.PRNGKey(0)
     q = jax.random.normal(key, shape, jnp.bfloat16)
@@ -94,26 +111,35 @@ def bench_bwd(seqlen, hdim, causal, n_chain):
     o, lse = jax.jit(fwd, static_argnames=("is_causal",))(
         q, k, v, is_causal=causal)
     do = jax.random.normal(key, shape, jnp.bfloat16)
-
-    def make(n):
-        def g(q, k, v, o, lse, do):
-            dq = do
-            for _ in range(n):
-                dq, dk, dv = bwd(q, k, v, o, lse, dq, is_causal=causal)
-                # keep dk/dv live against DCE
-                dq = dq + (jnp.sum(dk.astype(jnp.float32)) * 1e-30 +
-                           jnp.sum(dv.astype(jnp.float32)) * 1e-30
-                           ).astype(dq.dtype)
-            return jnp.sum(dq.astype(jnp.float32))
-        return g
-
     args = (q, k, v, o, lse, do)
-    t1 = _time_chain(make, 1, args)
-    tn = _time_chain(make, n_chain, args)
-    dt = max((tn - t1) / (n_chain - 1), 1e-9)
+
+    def make_parts(parts):
+        def make(n):
+            def g(q, k, v, o, lse, do):
+                for _ in range(n):
+                    out = bwd(q, k, v, o, lse, do, is_causal=causal,
+                              parts=parts)
+                    leaves = out if isinstance(out, tuple) else (out,)
+                    # chain through do; keep every output live against DCE
+                    bump = sum(jnp.sum(x.astype(jnp.float32)) * 1e-30
+                               for x in leaves)
+                    do = do + bump.astype(do.dtype)
+                return jnp.sum(do.astype(jnp.float32))
+            return g
+        return make
+
+    dt = _slope_time(make_parts("all"), args, n_chain)
     # 3 matmuls (dq kernel) + 4 (dkv kernel), each 2*B*H*S*S*D
     flops = 7 * 2 * BATCH * HEADS * seqlen * seqlen * hdim * (0.5 if causal else 1)
-    return dt, flops
+    extra = {}
+    if dt is not None:
+        t_di = _slope_time(make_parts("di"), args, n_chain)
+        t_dq = _slope_time(make_parts("dq"), args, n_chain)
+        if t_di is not None and t_dq is not None:
+            extra = {"time_ms_k1": t_di * 1e3,
+                     "time_ms_dq": max(t_dq - t_di, 0.0) * 1e3,
+                     "time_ms_dkv": max(dt - t_dq, 0.0) * 1e3}
+    return dt, flops, extra
 
 
 def main():
@@ -138,27 +164,47 @@ def main():
                     dirs.append(("bwd", bench_bwd))
                 for direction, fn in dirs:
                     try:
-                        dt, flops = fn(seqlen, hdim, causal, n_chain)
+                        dt, flops, extra = fn(seqlen, hdim, causal, n_chain)
                     except Exception as e:  # compile failure etc.
                         print(f"# {direction} seq={seqlen} hd={hdim} "
                               f"causal={causal} FAILED {str(e)[:80]}",
                               flush=True)
                         continue
+                    if dt is None:
+                        print(f"# {direction} seq={seqlen} hd={hdim} "
+                              f"causal={causal} SKIPPED: slope method lost "
+                              f"to RPC jitter after retries", flush=True)
+                        continue
                     tflops = flops / dt / 1e12
                     pct = 100 * flops / dt / peak
+                    if pct > 100:
+                        print(f"# {direction} seq={seqlen} hd={hdim} "
+                              f"causal={causal} SKIPPED: {pct:.0f}% > peak "
+                              f"(bad timing)", flush=True)
+                        continue
                     rows.append(dict(direction=direction, seqlen=seqlen,
                                      head_dim=hdim, causal=int(causal),
                                      batch=BATCH, heads=HEADS,
                                      time_ms=dt * 1e3, tflops=tflops,
-                                     pct_of_peak=pct))
+                                     pct_of_peak=pct,
+                                     time_ms_k1=extra.get("time_ms_k1", ""),
+                                     time_ms_dq=extra.get("time_ms_dq", ""),
+                                     time_ms_dkv=extra.get("time_ms_dkv", "")))
+                    breakdown = ""
+                    if extra:
+                        breakdown = (f"  [k1 {extra['time_ms_k1']:.3f} dq "
+                                     f"{extra['time_ms_dq']:.3f} dkv "
+                                     f"{extra['time_ms_dkv']:.3f} ms]")
                     print(f"# {direction} seq={seqlen:6d} hd={hdim:4d} "
                           f"causal={int(causal)} {tflops:7.1f} TFLOP/s "
-                          f"{pct:5.1f}% peak {dt*1e3:9.3f} ms", flush=True)
-
-    with open(args.out, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
-        w.writeheader()
-        w.writerows(rows)
+                          f"{pct:5.1f}% peak {dt*1e3:9.3f} ms{breakdown}",
+                          flush=True)
+                    # rewrite after every row so a crash/timeout mid-sweep
+                    # (hours over the tunnel) keeps all finished rows
+                    with open(args.out, "w", newline="") as f:
+                        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+                        w.writeheader()
+                        w.writerows(rows)
     print(f"# wrote {len(rows)} rows to {args.out}")
 
 

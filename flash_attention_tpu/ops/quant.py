@@ -142,17 +142,36 @@ def quantized_matmul(
     m, k = x.shape
     n = w.scales.shape[0]
     out_dtype = out_dtype or x.dtype
+    pack = 1 if w.bits == 8 else 2
     block_m = min(block_m, _round_up(m, 8))
-    block_n = min(block_n, n)
-    block_k = min(block_k, k)
-    if k % block_k or n % block_n:
-        raise ValueError(f"k={k} % block_k={block_k} or n={n} % block_n={block_n} != 0")
+
+    # Real model dims are rarely divisible by the requested 512 (Llama-2-7B:
+    # hidden 11008 = 128*86, vocab 32000 = 128*250 — the reference keeps shape
+    # generality in host dispatch, flash_api.cpp:178-183). Snap each block to
+    # the largest 128-multiple divisor <= requested; only if no such divisor
+    # exists (dim not a multiple of 128) fall back to zero-padding the
+    # operands, which is exact for the contraction (0 * q == 0) and sliced
+    # away on the n axis.
+    values, scales = w.values, w.scales
+    block_k = _pick_block(k, block_k, 128)
+    if block_k == 0:
+        kp = _round_up(k, 128)
+        x = jnp.pad(x, ((0, 0), (0, kp - k)))
+        values = jnp.pad(values, ((0, (kp - k) // pack), (0, 0)))
+        k, block_k = kp, _pick_block(kp, 512, 128)
+    n_logical = n
+    block_n = _pick_block(n, block_n, 128)
+    if block_n == 0:
+        np_ = _round_up(n, 128)
+        values = jnp.pad(values, ((0, 0), (0, np_ - n)))
+        scales = jnp.pad(scales, ((0, np_ - n),), constant_values=1.0)
+        n = np_
+        block_n = _pick_block(n, 512, 128)
     mp = _round_up(m, block_m)
     if mp != m:
         x = jnp.pad(x, ((0, mp - m), (0, 0)))
 
-    pack = 1 if w.bits == 8 else 2
-    scales8 = jnp.broadcast_to(w.scales.astype(jnp.float32)[None, :], (8, n))
+    scales8 = jnp.broadcast_to(scales.astype(jnp.float32)[None, :], (8, n))
 
     y = pl.pallas_call(
         functools.partial(_qmm_kernel, bits=w.bits, block_k=block_k),
@@ -174,8 +193,8 @@ def quantized_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, w.values, scales8)
-    return y[:m]
+    )(x, values, scales8)
+    return y[:m, :n_logical] if n_logical != n else y[:m]
 
 
 def quantize_kv_pages(pages, dtype=jnp.int8):
@@ -207,3 +226,16 @@ def quantize_kv_pages(pages, dtype=jnp.int8):
 
 def _round_up(a: int, b: int) -> int:
     return ((a + b - 1) // b) * b
+
+
+def _pick_block(dim: int, requested: int, mult: int) -> int:
+    """Largest multiple of ``mult`` that divides ``dim`` and is <= requested;
+    ``dim`` itself if it fits inside one block; 0 if no such divisor exists."""
+    if dim <= requested:
+        return dim
+    b = (requested // mult) * mult
+    while b >= mult:
+        if dim % b == 0:
+            return b
+        b -= mult
+    return 0

@@ -29,6 +29,43 @@ def test_quantized_matmul(quant, bits, budget, m):
     assert l2 < budget, f"bits={bits} quant error {l2} > {budget}"
 
 
+@pytest.mark.parametrize("k,n", [
+    (1408, 1664),    # 128-multiples not divisible by the default 512 blocks
+    (4096, 11008),   # Llama-2-7B gate/up projection (11008 = 128*86)
+    (11008, 4096),   # Llama-2-7B down projection
+    (4096, 32000),   # Llama-2-7B lm_head (32000 = 128*250)
+])
+def test_quantized_matmul_llama_shapes(k, n):
+    """Real-model dims are not 512-divisible; block snapping must cover them
+    (round-1 crash: ValueError on 11008/32000 — VERDICT.md weak #1)."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(8, k)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(k, n)) / np.sqrt(k), jnp.float32)
+    qt = quantize_int8(w)
+    y = quantized_matmul(x, qt)
+    assert y.shape == (8, n)
+    yref = x @ dequantize(qt)
+    rel = float(jnp.max(jnp.abs(y - yref)) / (jnp.max(jnp.abs(yref)) + 1e-9))
+    assert rel < 1e-5, f"kernel deviates from dequant oracle at ({k},{n}): {rel}"
+
+
+@pytest.mark.parametrize("quant", [quantize_int8, quantize_int4])
+@pytest.mark.parametrize("k,n", [(320, 200), (514, 896)])
+def test_quantized_matmul_pad_fallback(quant, k, n):
+    """Dims with no 128-multiple divisor take the zero-pad path (exact)."""
+    rng = np.random.default_rng(3)
+    if quant is quantize_int4 and k % 2:
+        k += 1
+    x = jnp.asarray(rng.normal(size=(16, k)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(k, n)), jnp.float32)
+    qt = quant(w)
+    y = quantized_matmul(x, qt)
+    assert y.shape == (16, n)
+    yref = x @ dequantize(qt)
+    rel = float(jnp.max(jnp.abs(y - yref)) / (jnp.max(jnp.abs(yref)) + 1e-9))
+    assert rel < 1e-5, f"pad fallback deviates at ({k},{n}): {rel}"
+
+
 def test_quantized_matmul_jit_boundary():
     """QuantizedTensor must cross jit boundaries (bits is static aux)."""
     rng = np.random.default_rng(1)

@@ -203,14 +203,19 @@ def _scatter_token_scale(scales, wpage, woff, val):
     return scales.at[:, wpage].set(tiles)
 
 
-def _quantize_token(x):
-    """Per-token symmetric int8 over the last axis: returns (int8 values,
-    scales with the last axis reduced) — see quantize_kv_pages for the
-    packed (8, 128)-tile scale layout the cache stores."""
+def _quantize_token(x, dtype=jnp.int8):
+    """Per-token symmetric quantization over the last axis to int8 or fp8
+    (e4m3): returns (values in ``dtype``, scales with the last axis reduced)
+    — see quantize_kv_pages for the packed (8, 128)-tile scale layout the
+    cache stores. ``dtype`` is the cache's static dtype."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    scale = jnp.maximum(amax / 127.0, 1e-8)
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127,
-                 127).astype(jnp.int8)
+    if jnp.dtype(dtype) == jnp.dtype(jnp.int8):
+        scale = jnp.maximum(amax / 127.0, 1e-8)
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127,
+                     127).astype(jnp.int8)
+    else:
+        scale = jnp.maximum(amax / 448.0, 1e-8)  # e4m3 max finite
+        q = (x.astype(jnp.float32) / scale).astype(dtype)
     return q, scale[..., 0]
 
 
@@ -260,8 +265,8 @@ def decode_step(
         # scatter this token's K/V into its page slot (page-tile
         # gather/modify/scatter — see _scatter_token_kv)
         if quantized:
-            k, ksc = _quantize_token(k)   # ksc (b, hk)
-            v, vsc = _quantize_token(v)
+            k, ksc = _quantize_token(k, kp.dtype)   # ksc (b, hk)
+            v, vsc = _quantize_token(v, vp.dtype)
             kps = _scatter_token_scale(kps, write_page, write_off, ksc)
             vps = _scatter_token_scale(vps, write_page, write_off, vsc)
         kp = _scatter_token_kv(kp, write_page, write_off, k)
@@ -310,8 +315,8 @@ def write_prefill_to_pages(k_pages, v_pages, layer_kv, page_ids, length,
 
     kp, vp = prep(ks), prep(vs)
     if k_scales is not None:
-        kq, ksc = _quantize_token(kp)   # ksc (L, hk, n_pages, ps)
-        vq, vsc = _quantize_token(vp)
+        kq, ksc = _quantize_token(kp, k_pages.dtype)  # ksc (L, hk, n_pages, ps)
+        vq, vsc = _quantize_token(vp, v_pages.dtype)
 
         def pack(sc):  # -> (L, hk, n_pages, 8, 128): lane = token in page
             sc = jnp.pad(sc, ((0, 0), (0, 0), (0, 0), (0, 128 - page_size)),

@@ -271,6 +271,11 @@ def paged_attention(
             f"page); got {page_size}")
     if interpret is None:
         interpret = jax.default_backend() == 'cpu'
+    # A length-0 row would make block (b, 0, 0) dead: its warm-up DMA never
+    # starts and later live blocks hang on unsignalled semaphores. Clamp to
+    # the documented >= 1 invariant so misuse yields wrong-but-finite output
+    # for that row instead of a silent deadlock (that row attends to slot 0).
+    lengths = jnp.maximum(lengths, 1)
 
     # (b, hk, group, d) so each grid cell sees its GQA group as the M dim.
     q_grouped = q.reshape(b, hk, group, d)

@@ -86,7 +86,15 @@ class _PyRuntime:
         self.live[slot] = True
         return slot
 
+    def _bad_slot(self, slot: int) -> bool:
+        # mirror csrc/paged_runtime.cpp::bad_slot so the two backends agree
+        # on misuse (slot=-1 of a freed/preempted request must not corrupt
+        # the last slot via Python negative indexing)
+        return slot < 0 or slot >= len(self.live) or not self.live[slot]
+
     def seq_append(self, slot: int) -> int:
+        if self._bad_slot(slot):
+            return -1
         need = self._pages_for(self.length[slot] + 1)
         if need > len(self.pages[slot]):
             if not self.free_list:
@@ -96,7 +104,7 @@ class _PyRuntime:
         return 0
 
     def seq_free(self, slot: int) -> None:
-        if not self.live[slot]:
+        if self._bad_slot(slot):
             return
         self.free_list.extend(self.pages[slot])
         self.pages[slot] = []
@@ -105,12 +113,14 @@ class _PyRuntime:
         self.free_slots.append(slot)
 
     def seq_length(self, slot: int) -> int:
-        return self.length[slot]
+        return -1 if self._bad_slot(slot) else self.length[slot]
 
     def seq_num_pages(self, slot: int) -> int:
-        return len(self.pages[slot])
+        return -1 if self._bad_slot(slot) else len(self.pages[slot])
 
     def seq_page_table(self, slot: int, out_len: int, pad: int) -> list[int]:
+        if self._bad_slot(slot):
+            return [pad] * out_len
         p = self.pages[slot][:out_len]
         return p + [pad] * (out_len - len(p))
 

@@ -28,13 +28,21 @@ class Request:
     output: list[int] = dataclasses.field(default_factory=list)
     slot: int = -1               # allocator slot while running
     eos_id: Optional[int] = None
+    error: Optional[str] = None  # set when a device error failed this request
 
     @property
     def done(self) -> bool:
+        if self.error is not None:
+            return True
         if self.eos_id is not None and self.output and \
                 self.output[-1] == self.eos_id:
             return True
         return len(self.output) >= self.max_new_tokens
+
+    @property
+    def context_len(self) -> int:
+        """Tokens that must live in the cache: prompt + generated so far."""
+        return len(self.prompt) + len(self.output)
 
 
 class Scheduler:
@@ -51,13 +59,19 @@ class Scheduler:
 
     def admit(self) -> list[Request]:
         """Admit waiting requests while budget allows. Returns newly admitted
-        requests (caller must prefill them)."""
+        requests (caller must prefill them).
+
+        A re-admitted (previously preempted) request keeps its generated
+        tokens: the budget and page allocation cover prompt+output, and the
+        caller re-prefills the whole context (vLLM-style recompute) so the
+        completion is preserved — not restarted — even under future
+        non-greedy sampling."""
         admitted = []
         while (self.waiting and len(self.running) < self.max_batch and
-               self.rt.can_admit(len(self.waiting[0].prompt) + 1,
+               self.rt.can_admit(self.waiting[0].context_len + 1,
                                  self.reserve_pages)):
             req = self.waiting.popleft()
-            slot = self.rt.seq_alloc(len(req.prompt))
+            slot = self.rt.seq_alloc(req.context_len)
             if slot < 0:
                 self.waiting.appendleft(req)
                 break
@@ -83,9 +97,10 @@ class Scheduler:
         return True
 
     def preempt(self, req: Request) -> None:
+        """Free the victim's pages and park it; generated tokens are KEPT
+        (see admit) so preemption never discards progress."""
         self.rt.seq_free(req.slot)
         req.slot = -1
-        req.output.clear()
         self.running.remove(req)
         self.waiting.appendleft(req)
 
@@ -93,6 +108,20 @@ class Scheduler:
         self.rt.seq_free(req.slot)
         req.slot = -1
         self.running.remove(req)
+
+    def fail(self, req: Request, error: str) -> None:
+        """Surface a device (XLA) error on ``req``: mark it failed, free its
+        pages, and drop it from whichever queue holds it. The engine stays
+        alive for the other requests (SURVEY.md §5: the serving layer must at
+        least surface per-request XLA errors; the reference's launches are
+        fire-and-forget)."""
+        req.error = error
+        self.rt.seq_free(req.slot)
+        req.slot = -1
+        if req in self.running:
+            self.running.remove(req)
+        if req in self.waiting:
+            self.waiting.remove(req)
 
     @property
     def has_work(self) -> bool:

@@ -186,3 +186,109 @@ def test_engine_tp_with_quantized_weights(params):
         return r.output
 
     assert gen(mesh) == gen(None)
+
+
+def test_scheduler_preempt_preserves_output():
+    """Preemption must keep generated tokens (vLLM-style recompute): the
+    request re-prefills prompt+output on re-admission instead of restarting
+    from token 0 (ADVICE r1 / VERDICT r1 weak #6)."""
+    rt = PagedRuntime(total_pages=8, page_size=4, max_seqs=4, native=False)
+    s = Scheduler(rt, max_batch=4)
+    r = Request(1, [7] * 8, 8)
+    s.add(r)
+    s.admit()
+    r.output.extend([1, 2, 3])
+    s.preempt(r)
+    assert r.output == [1, 2, 3], "preempt discarded generated tokens"
+    assert r.slot == -1 and r in s.waiting
+    # re-admission allocates pages for prompt+output, not just the prompt
+    again = s.admit()
+    assert again == [r]
+    assert rt.seq_length(r.slot) == r.context_len == 11
+
+
+def test_engine_batched_prefill_one_dispatch(params):
+    """All requests admitted in one step prefill as ONE padded batch (round 1
+    dispatched one prefill per request — VERDICT r1 weak #6)."""
+    eng = Engine(CFG, params, total_pages=96, page_size=16, max_batch=4,
+                 max_seq_len=128, kv_dtype=jnp.float32)
+    rng = np.random.default_rng(6)
+    prompts = [list(map(int, rng.integers(0, 255, size=n)))
+               for n in (5, 23, 17)]
+    reqs = [eng.add_request(p, max_new_tokens=4) for p in prompts]
+    done = eng.run()
+    assert len(done) == 3
+    assert eng.stats["prefill_dispatches"] == 1, eng.stats
+    for req, prompt in zip(reqs, prompts):
+        assert req.output == _greedy_dense(params, prompt, 4)
+
+
+def test_engine_kv_dtype_validation(params):
+    """fp8 KV is selectable; quantized dtypes without kv_quant are rejected."""
+    with pytest.raises(ValueError, match="kv_quant"):
+        Engine(CFG, params, total_pages=16, page_size=128, max_batch=2,
+               max_seq_len=256, kv_dtype=jnp.int8)
+    with pytest.raises(ValueError, match="kv_quant"):
+        Engine(CFG, params, total_pages=16, page_size=128, max_batch=2,
+               max_seq_len=256, kv_dtype=jnp.float8_e4m3fn)
+
+
+def test_engine_fp8_kv(params):
+    """The fp8(e4m3) paged cache is reachable through the Engine (ADVICE r1):
+    first greedy token must agree with the fp cache."""
+    rng = np.random.default_rng(7)
+    prompt = list(map(int, rng.integers(0, 255, size=19)))
+
+    def gen(**kw):
+        eng = Engine(CFG, params, total_pages=16, page_size=128, max_batch=2,
+                     max_seq_len=256, **kw)
+        req = eng.add_request(prompt, max_new_tokens=3)
+        eng.run()
+        return req.output
+
+    fp = gen(kv_dtype=jnp.float32)
+    f8 = gen(kv_dtype=jnp.float8_e4m3fn, kv_quant=True)
+    assert f8[0] == fp[0], (f8, fp)
+
+
+def test_engine_surfaces_device_errors(params, monkeypatch):
+    """A failing dispatch must come back as per-request errors — pages freed,
+    engine still serving later requests (SURVEY.md §5 failure detection)."""
+    eng = Engine(CFG, params, total_pages=32, page_size=16, max_batch=4,
+                 max_seq_len=128, kv_dtype=jnp.float32)
+    free0 = eng.rt.free_pages()
+    prompt = [1, 2, 3, 4, 5]
+
+    # 1) prefill blows up -> the admitted request fails, pool is restored
+    def boom(*a, **k):
+        raise RuntimeError("XLA device OOM (injected)")
+    monkeypatch.setattr(llama, "prefill", boom)
+    bad = eng.add_request(prompt, max_new_tokens=4)
+    done = eng.step()
+    assert done == [bad] and bad.done
+    assert "prefill failed" in bad.error and "injected" in bad.error
+    assert bad.slot == -1 and eng.rt.free_pages() == free0
+    monkeypatch.undo()
+
+    # 2) decode blows up mid-request -> error surfaced, pages freed
+    real_decode = llama.decode_step
+    calls = {"n": 0}
+
+    def boom_decode(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("XLA halted (injected)")
+        return real_decode(*a, **k)
+    monkeypatch.setattr(llama, "decode_step", boom_decode)
+    bad2 = eng.add_request(prompt, max_new_tokens=4)
+    done = eng.run()
+    assert done == [bad2] and "decode failed" in bad2.error
+    assert len(bad2.output) == 1  # kept the prefill token it did produce
+    assert eng.rt.free_pages() == free0
+    monkeypatch.undo()
+
+    # 3) the engine is still healthy: a fresh request completes normally
+    ok = eng.add_request(prompt, max_new_tokens=3)
+    eng.run()
+    assert ok.error is None
+    assert ok.output == _greedy_dense(params, prompt, 3)

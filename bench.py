@@ -98,10 +98,12 @@ def main():
                   f"{tflops/1e12:7.1f} TFLOP/s  {pct:5.1f}% SOL  {dt*1e3:8.3f} ms",
                   flush=True)
 
-    long_rows = [r for r in rows if r["seqlen"] >= 8192]
-    headline = max(r["pct_sol"] for r in long_rows)
+    # headline = MEAN of the dense seq>=8k rows (not best-of: round 1's max()
+    # cherry-picked the luckier of two tunnel-noisy points)
+    long_rows = [r for r in rows if r["seqlen"] >= 8192 and not r["causal"]]
+    headline = sum(r["pct_sol"] for r in long_rows) / len(long_rows)
     print(json.dumps({
-        "metric": "fwd attention % of single-chip SOL (B4 H32 D128 bf16, best seq>=8k)",
+        "metric": "fwd attention % of single-chip SOL (B4 H32 D128 bf16, mean dense seq>=8k)",
         "value": round(headline, 2),
         "unit": "%",
         "vs_baseline": round(headline / REFERENCE_PCT_SOL, 3),

@@ -12,7 +12,8 @@ Flow per ``step()``:
  2. grow every running sequence by one cache slot (preempting on pressure);
  3. one jitted ``decode_step`` for the whole running batch (padded to the
     next power of two with dummy length-1 rows aimed at a trash page);
- 4. greedy-sample; retire finished sequences.
+ 4. sample (greedy by default; per-request temperature/top-k/top-p keyed by
+    (seed, position)); retire finished sequences.
 """
 
 from __future__ import annotations
@@ -107,7 +108,9 @@ class Engine:
 
     # ------------------------------------------------------------- requests
     def add_request(self, prompt: list[int], max_new_tokens: int,
-                    eos_id: int | None = None) -> Request:
+                    eos_id: int | None = None, *, temperature: float = 0.0,
+                    top_k: int = 0, top_p: float = 1.0,
+                    seed: int = 0) -> Request:
         total = len(prompt) + max_new_tokens
         if total > self.max_seq_len:
             raise ValueError(
@@ -120,9 +123,44 @@ class Engine:
                 f"request needs {need} pages but the pool can ever free at "
                 f"most {budget}; it would wait forever")
         self._uid += 1
-        req = Request(self._uid, list(prompt), max_new_tokens, eos_id=eos_id)
+        req = Request(self._uid, list(prompt), max_new_tokens, eos_id=eos_id,
+                      temperature=temperature, top_k=top_k, top_p=top_p,
+                      seed=seed)
         self.sched.add(req)
         return req
+
+    # -------------------------------------------------------------- sampling
+    @staticmethod
+    def _sample(req: Request, logits_row) -> int:
+        """Sample ``req``'s next token from one (vocab,) logits row.
+
+        temperature 0 = greedy. Otherwise temperature + top-k + top-p
+        (nucleus) over a softmax, drawn from an RNG seeded by
+        (req.seed, position): each position's draw is a pure function of the
+        request, so preemption + recompute (scheduler.admit) replays the
+        exact same completion — call-count-stateful RNGs would not."""
+        row = np.asarray(logits_row, np.float32)
+        if req.temperature <= 0.0:
+            return int(row.argmax())
+        row = row / req.temperature
+        keep = np.ones_like(row, bool)
+        if req.top_k > 0:
+            kth = np.partition(row, -req.top_k)[-req.top_k]
+            keep &= row >= kth
+        if req.top_p < 1.0:
+            order = np.argsort(-row)
+            p = np.exp(row[order] - row[order][0])
+            p /= p.sum()
+            # smallest prefix with cumulative prob >= top_p (always >= 1 tok)
+            cut = int(np.searchsorted(np.cumsum(p), req.top_p)) + 1
+            nucleus = np.zeros_like(keep)
+            nucleus[order[:cut]] = True
+            keep &= nucleus
+        row[~keep] = -np.inf
+        p = np.exp(row - row.max())
+        p /= p.sum()
+        rng = np.random.default_rng((req.seed, len(req.output)))
+        return int(rng.choice(len(row), p=p))
 
     # -------------------------------------------------------------- prefill
     def _prefill_batch(self, reqs: list[Request]) -> None:
@@ -162,7 +200,7 @@ class Engine:
                     (ks[:, i:i + 1], vs[:, i:i + 1]), page_ids,
                     n, self.page_size,
                     k_scales=self.k_scales, v_scales=self.v_scales)
-            req.output.append(int(jnp.argmax(logits[i, n - 1])))
+            req.output.append(self._sample(req, logits[i, n - 1]))
             self.stats["prefill_tokens"] += n
         self.stats["prefill_dispatches"] += 1
         self.stats["prefill_time"] += time.perf_counter() - t0
@@ -200,11 +238,12 @@ class Engine:
              self.v_scales) = llama.decode_step(
                 self.params, self.k_pages, self.v_pages, self.k_scales,
                 self.v_scales, *args, self.cfg)
-        out = np.asarray(jnp.argmax(logits[:n], axis=-1))
+        rows = np.asarray(logits[:n], np.float32)
+        out = [self._sample(r, rows[i]) for i, r in enumerate(reqs)]
         self.stats["decode_steps"] += 1
         self.stats["decode_tokens"] += n
         self.stats["decode_time"] += time.perf_counter() - t0
-        return [int(x) for x in out]
+        return out
 
     # ----------------------------------------------------------------- step
     def step(self) -> list[Request]:

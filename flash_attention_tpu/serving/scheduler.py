@@ -29,6 +29,14 @@ class Request:
     slot: int = -1               # allocator slot while running
     eos_id: Optional[int] = None
     error: Optional[str] = None  # set when a device error failed this request
+    # Sampling params. temperature 0.0 = greedy argmax. Sampling is keyed by
+    # (seed, position) — stateless per token — so a preempted request that
+    # re-prefills its kept output continues with the IDENTICAL completion it
+    # would have produced uninterrupted.
+    temperature: float = 0.0
+    top_k: int = 0               # 0 = no top-k filter
+    top_p: float = 1.0           # 1.0 = no nucleus filter
+    seed: int = 0
 
     @property
     def done(self) -> bool:

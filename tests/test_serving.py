@@ -292,3 +292,50 @@ def test_engine_surfaces_device_errors(params, monkeypatch):
     eng.run()
     assert ok.error is None
     assert ok.output == _greedy_dense(params, prompt, 3)
+
+
+def test_engine_sampling_deterministic(params):
+    """Sampled decoding: same seed => identical completion, different seed
+    => different draws; greedy stays the default."""
+    rng = np.random.default_rng(8)
+    prompt = list(map(int, rng.integers(0, 255, size=9)))
+
+    def gen(**kw):
+        eng = Engine(CFG, params, total_pages=32, page_size=16, max_batch=2,
+                     max_seq_len=128, kv_dtype=jnp.float32)
+        req = eng.add_request(prompt, max_new_tokens=12, **kw)
+        eng.run()
+        return req.output
+
+    a = gen(temperature=0.8, top_k=50, seed=7)
+    b = gen(temperature=0.8, top_k=50, seed=7)
+    c = gen(temperature=0.8, top_k=50, seed=8)
+    assert a == b
+    assert a != c  # 12 draws at T=0.8 colliding across seeds is ~impossible
+    assert gen() == _greedy_dense(params, prompt, 12)
+
+
+def test_engine_sampling_survives_preemption(params):
+    """(seed, position)-keyed sampling + kept-output recompute: a preempted
+    sampled request must finish with the completion it would have produced
+    uninterrupted (the failure mode VERDICT r1 flagged for preempt())."""
+    rng = np.random.default_rng(9)
+    p1 = list(map(int, rng.integers(0, 255, size=30)))
+    p2 = list(map(int, rng.integers(0, 255, size=30)))
+    kw = dict(temperature=0.9, top_k=64, seed=11)
+
+    # baseline: run alone, no memory pressure
+    eng0 = Engine(CFG, params, total_pages=32, page_size=16, max_batch=2,
+                  max_seq_len=96, kv_dtype=jnp.float32)
+    alone = eng0.add_request(p1, max_new_tokens=40, **kw)
+    eng0.run(max_steps=500)
+
+    # contended: same pool as test_engine_preemption_mid_batch -> preemptions
+    eng = Engine(CFG, params, total_pages=9, page_size=16, max_batch=2,
+                 max_seq_len=96, kv_dtype=jnp.float32)
+    r1 = eng.add_request(p1, max_new_tokens=40, **kw)
+    r2 = eng.add_request(p2, max_new_tokens=40)
+    done = eng.run(max_steps=500)
+    assert len(done) == 2
+    assert r1.output == alone.output
+    assert r2.output == _greedy_dense(params, p2, 40)

@@ -79,3 +79,17 @@ def test_paged_attention_quantized_fp8():
     # e4m3's 3-bit mantissa: ~3% aggregate (int8 is the precision-preferred
     # 8-bit KV path at ~0.8%; fp8 trades precision for dynamic range)
     assert err < 0.05, f"fp8(+scales) KV degradation too large: {err}"
+
+
+def test_paged_attention_zero_length_clamped():
+    """A length-0 row (invariant violation) must yield finite output - the
+    wrapper clamps to 1 - instead of the silent semaphore deadlock a dead
+    warm-up DMA block would cause (ADVICE r1)."""
+    q, kp, vp, pi = _setup(3, 2, 2, 128, 16, 8, 64)
+    lens = jnp.asarray([0, 64, 128], jnp.int32)
+    o = paged_attention(q, kp, vp, lens, pi, pages_per_block=2)
+    assert bool(jnp.all(jnp.isfinite(o)))
+    # live rows are unaffected by the clamped row
+    oref = paged_attention_reference(q, kp, vp,
+                                     jnp.asarray([1, 64, 128], jnp.int32), pi)
+    assert_metrics("paged[zero-len]", o, oref)

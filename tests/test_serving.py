@@ -339,3 +339,26 @@ def test_engine_sampling_survives_preemption(params):
     assert len(done) == 2
     assert r1.output == alone.output
     assert r2.output == _greedy_dense(params, p2, 40)
+
+
+@pytest.mark.parametrize("native", [False, True])
+def test_allocator_bad_slot_guard(native):
+    """Both backends must agree on misuse: a freed/invalid slot returns -1
+    (or a padded table) instead of corrupting state via negative indexing
+    (ADVICE r1: _PyRuntime lacked the C++ bad_slot guard)."""
+    try:
+        rt = PagedRuntime(8, 4, 2, native=native)
+    except RuntimeError:
+        pytest.skip("native runtime unavailable")
+    a = rt.seq_alloc(6)
+    assert a >= 0
+    before = (rt.seq_length(a), rt.seq_num_pages(a))
+    for bad in (-1, 7, a + 1):
+        assert rt.seq_append(bad) == -1
+        assert rt.seq_length(bad) == -1
+        assert rt.seq_num_pages(bad) == -1
+        assert rt.seq_page_table(bad, 3, pad=-7) == [-7] * 3
+        rt.seq_free(bad)  # no-op, must not throw or free someone's pages
+    assert (rt.seq_length(a), rt.seq_num_pages(a)) == before
+    rt.seq_free(a)
+    assert rt.free_pages() == 8

@@ -40,6 +40,15 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
 
 
+def _precision(dtype):
+    """f32 operands must run the MXU at HIGHEST precision: the default
+    (fastest) setting truncates f32 matmuls to bf16 passes on TPU, which
+    silently voids the fp16-upcasts-to-f32 numerics contract the wrappers
+    promise (and fails the f32-grade parity gates on hardware). bf16
+    operands have nothing to decompose; None keeps them on the native pass."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
 def _mask_scores(
     s, qi, ki, block_q, block_kv, *, causal, segmented,
     seqlen_q, seqlen_k, n_kv_blocks,
@@ -105,7 +114,8 @@ def _di_kernel(o_ref, do_ref, di_ref):
     o = o_ref[0, 0]    # (block_q, d), input dtype
     do = do_ref[0, 0]
     m = jax.lax.dot_general(
-        do, o, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        do, o, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=_precision(do.dtype),
     )  # (block_q, block_q) fp32
     rows = jax.lax.broadcasted_iota(jnp.int32, m.shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
@@ -164,7 +174,8 @@ def _dq_kernel(
             di_ref[0, 0, 0, :], (block_q, block_kv), (0,))
 
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_precision(q.dtype),
         ) * sm_scale
         s = _mask_scores(
             s, qi, ki, block_q, block_kv,
@@ -177,12 +188,13 @@ def _dq_kernel(
         )
         p = jnp.exp(s - lse)  # normalized probs; masked lanes underflow to 0
         dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_precision(do.dtype),
         )
         ds = p * (dp - di)
         acc_scr[...] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_precision(k.dtype),
         )
 
     @pl.when(ki == nk - 1)
@@ -243,7 +255,8 @@ def _dkv_kernel(
             di_ref[0, 0, 0, :], (block_q, block_kv), (0,))
 
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_precision(q.dtype),
         ) * sm_scale
         s = _mask_scores(
             s, qi, ki, block_q, block_kv,
@@ -257,7 +270,8 @@ def _dkv_kernel(
         )
         p = jnp.exp(s - lse)  # (bq, bkv); masked lanes underflow to 0
         dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_precision(do.dtype),
         )
         ds = p * (dp - di)
         # dV += Pᵀ·dO ; dK += dSᵀ·Q  (transposes via dot dimension numbers —
@@ -265,11 +279,11 @@ def _dkv_kernel(
         # kernel_traits.h:165-204)
         dv_scr[...] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_precision(do.dtype),
         )
         dk_scr[...] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_precision(q.dtype),
         )
 
     @pl.when((g == ngroup - 1) & (qi == nq - 1))

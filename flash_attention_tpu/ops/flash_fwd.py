@@ -43,6 +43,15 @@ _FORCE_BRANCH = None  # perf-debug: "nomask"/"mask" forces the causal branch
 _SKIP_EXP = False     # perf-debug: bypass the exp (wrong numerics)
 
 
+def _precision(dtype):
+    """f32 operands must run the MXU at HIGHEST precision: the default
+    (fastest) setting truncates f32 matmuls to bf16 passes on TPU, which
+    silently voids the fp16-upcasts-to-f32 numerics contract the wrappers
+    promise (and fails the f32-grade parity gates on hardware). bf16
+    operands have nothing to decompose; None keeps them on the native pass."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
 def _fwd_kernel(
     # refs (segment refs present only when segmented=True)
     *refs,
@@ -80,7 +89,8 @@ def _fwd_kernel(
         q = q_ref[0, 0]  # (block_q, d)
         k = k_ref[0, 0, sub * inner:(sub + 1) * inner, :]  # (inner, d)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_precision(q.dtype),
         )  # (block_q, inner)
         s *= sm_scale
 
@@ -145,7 +155,7 @@ def _fwd_kernel(
         v = v_ref[0, 0, sub * inner:(sub + 1) * inner, :]  # (inner, d)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_precision(v.dtype),
         )
         acc_scr[...] = acc_scr[...] * alpha + pv
 

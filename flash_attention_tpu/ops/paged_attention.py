@@ -42,6 +42,13 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
+def _precision(dtype):
+    """f32 operands must run the MXU at HIGHEST precision — the default
+    (fastest) setting truncates f32 matmuls to bf16 passes on TPU, failing
+    f32-grade parity gates on hardware. bf16 stays on the native pass."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
 class MultiPageCopy:
     """One async DMA per (non-contiguous) page into a VMEM slot buffer."""
 
@@ -187,7 +194,8 @@ def _paged_attn_kernel(
 
         q = q_ref[0, 0]  # (group, d)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_precision(q.dtype),
         ) * sm_scale  # (group, bk)
         if quantized:
             # scale tile (ppb, 8, 128): sublane 0, lane t = scale of token t
@@ -214,7 +222,7 @@ def _paged_attn_kernel(
             p = p * vs[None, :]
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_precision(v.dtype),
         )
         acc_scr[...] = acc_scr[...] * alpha + pv
 

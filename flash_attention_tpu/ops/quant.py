@@ -51,6 +51,13 @@ jax.tree_util.register_pytree_node(
 )
 
 
+
+def _precision(dtype):
+    """f32 operands must run the MXU at HIGHEST precision — the default
+    (fastest) setting truncates f32 matmuls to bf16 passes on TPU, failing
+    f32-grade parity gates on hardware. bf16 stays on the native pass."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
 def quantize_int8(w, axis: int = 0) -> QuantizedTensor:
     """Symmetric per-channel int8 quantization; ``axis`` is the contraction
     (reduced) axis, scales live on the remaining axis."""
@@ -111,7 +118,8 @@ def _qmm_kernel(x_ref, w_ref, scale_ref, o_ref, acc_ref, *, bits: int,
                                                          v.shape[1])
         w = w.astype(x.dtype)
     acc_ref[...] += jax.lax.dot_general(
-        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=_precision(x.dtype),
     )
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)

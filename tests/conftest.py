@@ -25,3 +25,7 @@ import jax  # noqa: E402
 if _backend == "cpu":
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# On TPU, f32 matmuls default to fast bf16 MXU passes; the parity suites
+# compare f32-grade oracles and model paths, so pin full f32. (The kernels
+# pin their own dots via _precision(); this covers test-side jnp/model math.)
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -45,8 +45,11 @@ def _precision(dtype):
     (fastest) setting truncates f32 matmuls to bf16 passes on TPU, which
     silently voids the fp16-upcasts-to-f32 numerics contract the wrappers
     promise (and fails the f32-grade parity gates on hardware). bf16
-    operands have nothing to decompose; None keeps them on the native pass."""
-    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    operands stay on the native pass via an explicit DEFAULT (None would
+    let a global jax_default_matmul_precision=highest leak fp32 contract
+    precision onto bf16 Pallas dots, which Mosaic rejects: 'Bad lhs type')."""
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
 
 
 def _mask_scores(
@@ -332,13 +335,24 @@ def flash_bwd(
     group = h // hk
     segmented = q_seg is not None
 
+    def _snap_block(pad_len: int, cap: int) -> int:
+        """Largest block <= cap that DIVIDES pad_len (pad_len is always a
+        multiple of 128, so 128 is a universal fallback). A non-dividing
+        block makes the grid floor-divide and silently skip the tail rows —
+        on TPU the skipped output rows are uninitialized HBM garbage
+        (found by the first compiled-on-chip suite run at seqlens 640/384)."""
+        bq = min(pad_len, cap)
+        while pad_len % bq:
+            bq -= 128
+        return bq
+
     # [K1] D = rowsum(dO ∘ O) per query row, fp32, broadcast along LANES
     # (the LSE/di layout is (b, h, sq, LANES) so blocks satisfy (8, 128)
     # tiling; only lane 0 is read). See _di_kernel for why this is a Pallas
     # dot and not jnp.sum.
     # Capped at 256: the diag-of-dO·Oᵀ needs a (bq, bq) fp32 tile, and at
     # 256 K1 stays ~1% of total bwd MACs.
-    bq_di = min(block_sizes.block_q_dq, sq_pad, 256)
+    bq_di = _snap_block(sq_pad, min(block_sizes.block_q_dq, 256))
     di = pl.pallas_call(
         _di_kernel,
         grid=(b, h, sq_pad // bq_di),
@@ -368,9 +382,16 @@ def flash_bwd(
         seqlen_q=seqlen_q, seqlen_k=seqlen_k,
     )
 
+    # f32 operands double every block's footprint AND the in-kernel
+    # s/p/dp/ds intermediates ((bq, bkv) f32 each): 1024x1024 f32 blocks
+    # blow the 16MB VMEM scoped limit on v5e (measured: 17.84M requested).
+    # The f32 path is the fp16-upcast parity path, not the perf path, so
+    # halve its blocks; bf16 keeps the tuned 1024s.
+    f32_cap = 512 if q.dtype == jnp.float32 else 1 << 30
+
     # ------------------------- [K2] dQ -------------------------
-    bq = min(block_sizes.block_q_dq, sq_pad)
-    bkv = min(block_sizes.block_kv_dq, sk_pad)
+    bq = _snap_block(sq_pad, min(block_sizes.block_q_dq, f32_cap))
+    bkv = _snap_block(sk_pad, min(block_sizes.block_kv_dq, f32_cap))
     nq, nk = sq_pad // bq, sk_pad // bkv
 
     if causal and not segmented:
@@ -468,8 +489,8 @@ def flash_bwd(
         return dq
 
     # ------------------------- [K3] dK/dV -------------------------
-    bq = min(block_sizes.block_q_dkv, sq_pad)
-    bkv = min(block_sizes.block_kv_dkv, sk_pad)
+    bq = _snap_block(sq_pad, min(block_sizes.block_q_dkv, f32_cap))
+    bkv = _snap_block(sk_pad, min(block_sizes.block_kv_dkv, f32_cap))
     nq, nk = sq_pad // bq, sk_pad // bkv
 
     if causal and not segmented:

@@ -48,8 +48,11 @@ def _precision(dtype):
     (fastest) setting truncates f32 matmuls to bf16 passes on TPU, which
     silently voids the fp16-upcasts-to-f32 numerics contract the wrappers
     promise (and fails the f32-grade parity gates on hardware). bf16
-    operands have nothing to decompose; None keeps them on the native pass."""
-    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    operands stay on the native pass via an explicit DEFAULT (None would
+    let a global jax_default_matmul_precision=highest leak fp32 contract
+    precision onto bf16 Pallas dots, which Mosaic rejects: 'Bad lhs type')."""
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
 
 
 def _fwd_kernel(

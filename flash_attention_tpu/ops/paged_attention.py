@@ -45,8 +45,11 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 def _precision(dtype):
     """f32 operands must run the MXU at HIGHEST precision — the default
     (fastest) setting truncates f32 matmuls to bf16 passes on TPU, failing
-    f32-grade parity gates on hardware. bf16 stays on the native pass."""
-    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    f32-grade parity gates on hardware. bf16 stays on the native pass
+    via an explicit DEFAULT (None would let a global highest setting leak
+    fp32 contract precision onto bf16 Pallas dots; Mosaic rejects that)."""
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
 
 
 class MultiPageCopy:

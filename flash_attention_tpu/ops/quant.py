@@ -55,8 +55,11 @@ jax.tree_util.register_pytree_node(
 def _precision(dtype):
     """f32 operands must run the MXU at HIGHEST precision — the default
     (fastest) setting truncates f32 matmuls to bf16 passes on TPU, failing
-    f32-grade parity gates on hardware. bf16 stays on the native pass."""
-    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    f32-grade parity gates on hardware. bf16 stays on the native pass
+    via an explicit DEFAULT (None would let a global highest setting leak
+    fp32 contract precision onto bf16 Pallas dots; Mosaic rejects that)."""
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
 
 def quantize_int8(w, axis: int = 0) -> QuantizedTensor:
     """Symmetric per-channel int8 quantization; ``axis`` is the contraction
@@ -167,8 +170,30 @@ def quantized_matmul(
         x = jnp.pad(x, ((0, 0), (0, kp - k)))
         values = jnp.pad(values, ((0, (kp - k) // pack), (0, 0)))
         k, block_k = kp, _pick_block(kp, 512, 128)
+    if w.bits == 4:
+        # Mosaic rejects the int4 nibble-unpack reshape
+        # (bk//2, 2*bn) -> (bk//2, 2, bn) -> (bk, bn) for non-pow2 block_k
+        # ("infer-vector-layout: unsupported shape cast"; 384 fails,
+        # 128/256/512 compile). Pad k to a 128-multiple if needed, then take
+        # the largest pow2 block in {512, 256, 128} that divides k — 128
+        # always qualifies once k is a 128-multiple.
+        if k % 128:
+            kp = _round_up(k, 128)
+            x = jnp.pad(x, ((0, 0), (0, kp - k)))
+            values = jnp.pad(values, ((0, (kp - k) // pack), (0, 0)))
+            k = kp
+        block_k = 512
+        while k % block_k:
+            block_k >>= 1
+        block_k = min(block_k, k)
     n_logical = n
     block_n = _pick_block(n, block_n, 128)
+    if w.bits == 4 and n % 128:
+        # The int4 nibble-unpack reshape needs lane-aligned tiles: Mosaic
+        # rejects e.g. (64, 400) -> (128, 200) ("unsupported shape cast")
+        # when n is not a 128-multiple. Take the zero-pad path. (int8 has no
+        # reshape and handles ragged n fine.)
+        block_n = 0
     if block_n == 0:
         np_ = _round_up(n, 128)
         values = jnp.pad(values, ((0, 0), (0, np_ - n)))

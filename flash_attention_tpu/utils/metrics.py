@@ -82,6 +82,15 @@ def assert_metrics(name: str, test, ref, tols: dict | None = None,
     tols = {**DEFAULT_TOLS, **(tols or {})}
     m = error_metrics(test, ref)
     failures = []
+    # NaN/Inf guard FIRST: every threshold compare below is False for NaN
+    # (nan > atol == False), so without this a tensor of NaNs sails through
+    # every gate. Found the hard way: a block-size bug left uninitialized
+    # rows in the output; interpret mode filled them with NaN and the suite
+    # stayed green while real hardware returned garbage numbers.
+    n_bad = int(np.count_nonzero(~np.isfinite(
+        np.asarray(jnp.asarray(test, jnp.float32)))))
+    if n_bad:
+        failures.append(f"{n_bad} non-finite value(s) in output")
     if m.max_abs > tols["atol"]:
         failures.append(f"max_abs {m.max_abs:.3e} > atol {tols['atol']:.1e}")
     if m.mean_abs > tols["mean_atol"]:

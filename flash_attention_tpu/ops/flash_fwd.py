@@ -51,8 +51,11 @@ def _precision(dtype):
     operands stay on the native pass via an explicit DEFAULT (None would
     let a global jax_default_matmul_precision=highest leak fp32 contract
     precision onto bf16 Pallas dots, which Mosaic rejects: 'Bad lhs type')."""
-    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT)
+    if dtype == jnp.float32 and jax.default_backend() == "tpu":
+        return jax.lax.Precision.HIGHEST
+    # CPU (interpret mode) computes f32 natively-exact; the override is
+    # only needed (and only meaningful) on the MXU.
+    return jax.lax.Precision.DEFAULT
 
 
 def _fwd_kernel(

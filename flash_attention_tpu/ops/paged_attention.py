@@ -48,8 +48,11 @@ def _precision(dtype):
     f32-grade parity gates on hardware. bf16 stays on the native pass
     via an explicit DEFAULT (None would let a global highest setting leak
     fp32 contract precision onto bf16 Pallas dots; Mosaic rejects that)."""
-    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT)
+    if dtype == jnp.float32 and jax.default_backend() == "tpu":
+        return jax.lax.Precision.HIGHEST
+    # CPU (interpret mode) computes f32 natively-exact; the override is
+    # only needed (and only meaningful) on the MXU.
+    return jax.lax.Precision.DEFAULT
 
 
 class MultiPageCopy:

@@ -90,8 +90,11 @@ def reference_attention(
     kf = jnp.repeat(k.astype(jnp.float32), group, axis=2)
     vf = jnp.repeat(v.astype(jnp.float32), group, axis=2)
 
-    s = jnp.einsum("bqhd,bkhd->bhqk", qf, kf,
-                   precision=jax.lax.Precision.HIGHEST) * scale
+    # full-f32 contraction on TPU (default precision is bf16-grade there);
+    # on CPU f32 is natively exact and the override is skipped
+    prec = (jax.lax.Precision.HIGHEST
+            if jax.default_backend() == "tpu" else None)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qf, kf, precision=prec) * scale
     mask = _build_mask(
         sq, sk, causal, q_segment_ids, kv_segment_ids, q_positions, kv_positions
     )
@@ -107,8 +110,7 @@ def reference_attention(
     row_alive = m > MASK_VALUE * 0.5
     p = jnp.where(row_alive, jnp.exp(s - m), 0.0)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.einsum("bhqk,bkhd->bqhd", p, vf,
-                   precision=jax.lax.Precision.HIGHEST)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, vf, precision=prec)
     denom = jnp.where(l == 0.0, 1.0, l)
     o = o / jnp.swapaxes(denom, 1, 2)
     lse = jnp.where(row_alive, m + jnp.log(denom), 0.0)[..., 0]  # (b, h, sq)

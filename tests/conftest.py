@@ -28,4 +28,26 @@ jax.config.update("jax_enable_x64", False)
 # On TPU, f32 matmuls default to fast bf16 MXU passes; the parity suites
 # compare f32-grade oracles and model paths, so pin full f32. (The kernels
 # pin their own dots via _precision(); this covers test-side jnp/model math.)
-jax.config.update("jax_default_matmul_precision", "highest")
+# TPU-only: CPU computes f32 natively-exact, so the pin buys nothing there.
+if _backend == "tpu":
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+
+# --- XLA:CPU compile-accumulation guard -------------------------------------
+# With ~400 tests in one process, XLA:CPU segfaults inside backend_compile
+# after roughly 300 distinct compiled programs (reproduced twice at test
+# ~305; any prefix under ~300 compiles is stable, and the same tests pass in
+# isolation). Dropping the executable caches periodically keeps the resident
+# program count bounded. Costs a few recompiles per window; hermetic
+# correctness is unaffected.
+import pytest  # noqa: E402
+
+_TESTS_RUN = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _periodic_jax_cache_clear():
+    yield
+    _TESTS_RUN["n"] += 1
+    if _TESTS_RUN["n"] % 100 == 0:
+        jax.clear_caches()

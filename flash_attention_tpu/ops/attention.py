@@ -110,7 +110,8 @@ def _fwd_padded(q, k, v, segs, *, causal, sm_scale, block_sizes, interpret,
     if interpret is None:
         interpret = _default_interpret()
     if block_sizes is None:
-        block_sizes = BlockSizes.for_shape(sq, sk, d)
+        block_sizes = BlockSizes.for_shape(sq, sk, d, n_heads=h,
+                                           n_kv_heads=hk)
     if sm_scale is None:
         sm_scale = 1.0 / d**0.5
 

@@ -25,6 +25,11 @@ class BlockSizes:
     # inner sub-tile of block_kv processed per online-softmax update (None =
     # whole block); lets the next sub-tile's MXU work overlap this one's VPU
     block_kv_inner: int | None = None
+    # heads packed per fwd grid step (amortizes the ~1.5 us fixed
+    # per-grid-step cost — decisive when seqlen <= block and each (b, h)
+    # cell is a single tiny step); must cover whole GQA groups, snapped in
+    # the wrapper
+    block_h: int = 1
     # backward dq kernel: q-block rows owned per grid cell, kv streamed
     # (1024x1024 measured: dense bwd ~88% SOL, causal ~70%)
     block_q_dq: int = 1024
@@ -35,18 +40,30 @@ class BlockSizes:
 
     def __post_init__(self):
         for f in dataclasses.fields(self):
+            if f.name == "block_h":
+                if self.block_h < 1:
+                    raise ValueError(f"block_h={self.block_h} must be >= 1")
+                continue
             v = getattr(self, f.name)
             if v is not None and v % MIN_BLOCK != 0:
                 raise ValueError(f"{f.name}={v} must be a multiple of {MIN_BLOCK}")
 
     @classmethod
-    def for_shape(cls, seqlen_q: int, seqlen_k: int, head_dim: int) -> "BlockSizes":
+    def for_shape(cls, seqlen_q: int, seqlen_k: int, head_dim: int,
+                  n_heads: int = 1, n_kv_heads: int | None = None,
+                  ) -> "BlockSizes":
         """Pick block sizes for a given problem shape.
 
         The analogue of the per-head_dim tile tables in the reference launch
         templates: hdim128 -> 128x64, hdim64 -> 128x128 there; on TPU the MXU
         is 128x128 so we favour larger tiles, clamped so tiny problems don't
         over-pad.
+
+        ``n_heads``/``n_kv_heads`` (fwd call sites pass them) enable head
+        packing at short sequences: below seq 4k the ~1.5 us fixed
+        per-grid-step cost dominates a step's MXU work, so several heads run
+        per step (small-seq tuning, VERDICT r2 #2). The packed-head count is
+        snapped to whole GQA groups in the fwd wrapper.
         """
 
         def clamp(block, seqlen):
@@ -57,9 +74,15 @@ class BlockSizes:
 
         bq = clamp(1024, seqlen_q)
         bkv = clamp(1024, seqlen_k)
+        # Head-packing table (filled from tools/tune_small.py on-chip runs):
+        # pack more heads the fewer kv steps a head needs, capped so the
+        # f32 accumulator scratch (block_h x block_q x d) stays within VMEM
+        # alongside the K/V blocks. 1 = packing off (pre-tuning default).
+        block_h = 1
         return cls(
             block_q=bq,
             block_kv=bkv,
+            block_h=block_h,
             block_q_dq=clamp(1024, seqlen_q),
             block_kv_dq=clamp(1024, seqlen_k),
             block_q_dkv=clamp(1024, seqlen_q),

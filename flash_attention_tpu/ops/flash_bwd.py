@@ -37,22 +37,9 @@ from flash_attention_tpu.ops import segments
 from flash_attention_tpu.ops.configs import BlockSizes
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+from flash_attention_tpu.ops._mxu import matmul_precision as _precision
+
 LANES = 128
-
-
-def _precision(dtype):
-    """f32 operands must run the MXU at HIGHEST precision: the default
-    (fastest) setting truncates f32 matmuls to bf16 passes on TPU, which
-    silently voids the fp16-upcasts-to-f32 numerics contract the wrappers
-    promise (and fails the f32-grade parity gates on hardware). bf16
-    operands stay on the native pass via an explicit DEFAULT (None would
-    let a global jax_default_matmul_precision=highest leak fp32 contract
-    precision onto bf16 Pallas dots, which Mosaic rejects: 'Bad lhs type')."""
-    if dtype == jnp.float32 and jax.default_backend() == "tpu":
-        return jax.lax.Precision.HIGHEST
-    # CPU (interpret mode) computes f32 natively-exact; the override is
-    # only needed (and only meaningful) on the MXU.
-    return jax.lax.Precision.DEFAULT
 
 
 def _mask_scores(

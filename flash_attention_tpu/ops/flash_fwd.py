@@ -37,25 +37,10 @@ from jax.experimental.pallas import tpu as pltpu
 from flash_attention_tpu.ops import segments
 from flash_attention_tpu.ops.configs import BlockSizes
 
+from flash_attention_tpu.ops._mxu import matmul_precision as _precision
+
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
-_FORCE_BRANCH = None  # perf-debug: "nomask"/"mask" forces the causal branch
-_SKIP_EXP = False     # perf-debug: bypass the exp (wrong numerics)
-
-
-def _precision(dtype):
-    """f32 operands must run the MXU at HIGHEST precision: the default
-    (fastest) setting truncates f32 matmuls to bf16 passes on TPU, which
-    silently voids the fp16-upcasts-to-f32 numerics contract the wrappers
-    promise (and fails the f32-grade parity gates on hardware). bf16
-    operands stay on the native pass via an explicit DEFAULT (None would
-    let a global jax_default_matmul_precision=highest leak fp32 contract
-    precision onto bf16 Pallas dots, which Mosaic rejects: 'Bad lhs type')."""
-    if dtype == jnp.float32 and jax.default_backend() == "tpu":
-        return jax.lax.Precision.HIGHEST
-    # CPU (interpret mode) computes f32 natively-exact; the override is
-    # only needed (and only meaningful) on the MXU.
-    return jax.lax.Precision.DEFAULT
 
 
 def _fwd_kernel(
@@ -69,7 +54,10 @@ def _fwd_kernel(
     block_q: int,
     block_kv: int,
     block_kv_inner: int,
+    block_h: int,
+    group: int,
     empty_lse: float,
+    force_branch: str | None,
 ):
     if segmented:
         (lo_ref, hi_ref,  # scalar-prefetch (b, nq): live kv-block range
@@ -90,10 +78,14 @@ def _fwd_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    def _online_softmax_step(sub, masked):
+    def _online_softmax_step(hp, sub, masked):
+        # ``hp`` indexes the head packed into this grid step (block_h > 1
+        # amortizes the ~1.5 us fixed per-grid-step cost over several heads'
+        # MXU work — the decisive lever at small seqlens, where one head's
+        # whole attention fits a single block and the fixed cost dominates).
         inner = block_kv_inner
-        q = q_ref[0, 0]  # (block_q, d)
-        k = k_ref[0, 0, sub * inner:(sub + 1) * inner, :]  # (inner, d)
+        q = q_ref[0, hp]  # (block_q, d)
+        k = k_ref[0, hp // group, sub * inner:(sub + 1) * inner, :]  # (inner, d)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=_precision(q.dtype),
@@ -140,12 +132,12 @@ def _fwd_kernel(
         # ---- online softmax ----
         # all row statistics live on the (block_q, 1) leading lane of the
         # scratch; only that lane is read or written per step
-        m_prev = m_scr[:, :1]
-        l_prev = l_scr[:, :1]
+        m_prev = m_scr[hp, :, :1]
+        l_prev = l_scr[hp, :, :1]
         m_curr = jnp.max(s, axis=-1, keepdims=True)  # (block_q, 1)
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)              # (block_q, 1)
-        p = (s - m_next) if _SKIP_EXP else jnp.exp(s - m_next)
+        p = jnp.exp(s - m_next)
         # Fully-masked rows (m == MASK_VALUE) would give p == exp(0) == 1;
         # guard on the (block_q, 1) row vector instead of the full tile. Any
         # garbage in acc from a dead phase is wiped by alpha == 0 the moment
@@ -155,23 +147,25 @@ def _fwd_kernel(
         psum = jnp.where(row_alive, jnp.sum(p, axis=-1, keepdims=True), 0.0)
         l_next = alpha * l_prev + psum
 
-        m_scr[:, :1] = m_next
-        l_scr[:, :1] = l_next
+        m_scr[hp, :, :1] = m_next
+        l_scr[hp, :, :1] = l_next
 
-        v = v_ref[0, 0, sub * inner:(sub + 1) * inner, :]  # (inner, d)
+        v = v_ref[0, hp // group, sub * inner:(sub + 1) * inner, :]  # (inner, d)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_precision(v.dtype),
         )
-        acc_scr[...] = acc_scr[...] * alpha + pv
+        acc_scr[hp] = acc_scr[hp] * alpha + pv
 
     def _run(masked):
         # Two-level kv tiling: the grid step DMA'd a block_kv-wide K/V block;
         # process it in block_kv_inner-wide sub-tiles (python-unrolled) so the
         # next sub-tile's QK^T (MXU) overlaps this one's softmax (VPU) and the
-        # fp32 score tile stays small.
-        for sub in range(block_kv // block_kv_inner):
-            _online_softmax_step(sub, masked)
+        # fp32 score tile stays small. The outer (also python-unrolled) loop
+        # runs every head packed into this grid step.
+        for hp in range(block_h):
+            for sub in range(block_kv // block_kv_inner):
+                _online_softmax_step(hp, sub, masked)
 
     # Block-level schedule. Three states: pruned (above the causal diagonal —
     # no compute, and the wrapper's clamped index map already elided the DMA),
@@ -186,10 +180,10 @@ def _fwd_kernel(
         should_run = ki * block_kv <= last_row + off
         # fully unmasked iff even the FIRST row allows this block's last col
         need_mask = ki * block_kv + block_kv - 1 > qi * block_q + off
-        if _FORCE_BRANCH == "nomask":    # perf-debug: mask-free ceiling
+        if force_branch == "nomask":     # perf-debug: mask-free ceiling
             jax.lax.cond(should_run, functools.partial(_run, False),
                          lambda: None)
-        elif _FORCE_BRANCH == "mask":    # perf-debug: round-1 behavior
+        elif force_branch == "mask":     # perf-debug: round-1 behavior
             jax.lax.cond(should_run, functools.partial(_run, True),
                          lambda: None)
         else:
@@ -217,25 +211,28 @@ def _fwd_kernel(
 
     @pl.when(ki == nk - 1)
     def _store():
-        l = l_scr[:, :1]
-        m = m_scr[:, :1]
-        alive = l > 0.0
-        inv = jnp.where(alive, 1.0 / jnp.where(alive, l, 1.0), 0.0)
-        o_ref[0, 0] = (acc_scr[...] * inv).astype(o_ref.dtype)
-        lse = jnp.where(alive, m + jnp.log(jnp.where(alive, l, 1.0)), empty_lse)
-        # LSE is stored (b, h, 8, sq): q rows on lanes, 8 broadcast sublanes
-        # (the minimum f32 tile). One (block_q, 1) -> (8, block_q) relayout
-        # per q block; 16x less stream traffic in bwd than a 128-lane
-        # broadcast. The wrapper returns sublane 0 as the reference's dense
-        # (b, h, sq) `l` (flash_api.cpp:187-188).
-        lse_ref[0, 0] = jnp.broadcast_to(lse[:, 0][None, :], lse_ref.shape[2:])
+        for hp in range(block_h):
+            l = l_scr[hp, :, :1]
+            m = m_scr[hp, :, :1]
+            alive = l > 0.0
+            inv = jnp.where(alive, 1.0 / jnp.where(alive, l, 1.0), 0.0)
+            o_ref[0, hp] = (acc_scr[hp] * inv).astype(o_ref.dtype)
+            lse = jnp.where(alive, m + jnp.log(jnp.where(alive, l, 1.0)),
+                            empty_lse)
+            # LSE is stored (b, h, 8, sq): q rows on lanes, 8 broadcast
+            # sublanes (the minimum f32 tile). One (block_q, 1) ->
+            # (8, block_q) relayout per q block; 16x less stream traffic in
+            # bwd than a 128-lane broadcast. The wrapper returns sublane 0 as
+            # the reference's dense (b, h, sq) `l` (flash_api.cpp:187-188).
+            lse_ref[0, hp] = jnp.broadcast_to(
+                lse[:, 0][None, :], lse_ref.shape[2:])
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "block_sizes", "seqlen_q", "seqlen_k",
-        "interpret", "debug", "empty_lse",
+        "interpret", "debug", "empty_lse", "force_branch",
     ),
 )
 def flash_fwd(
@@ -255,6 +252,11 @@ def flash_fwd(
     interpret: bool = False,
     debug: bool = False,
     empty_lse: float = 0.0,  # lse sentinel for fully-masked rows
+    force_branch: str | None = None,  # perf-debug ONLY ("nomask"/"mask"):
+    # forces the causal masking branch; "nomask" is WRONG numerics (the
+    # mask-free ceiling for attribution experiments). Explicit static kwarg
+    # instead of a module global so a stale jit cache can't outlive a toggle
+    # (ADVICE r2).
 ):
     """Launch the forward kernel on pre-padded (b, h, s, d) inputs.
 
@@ -269,7 +271,23 @@ def flash_fwd(
     block_kv = min(block_sizes.block_kv, sk_pad)
     nq = sq_pad // block_q
     nk = sk_pad // block_kv
-    grid = (b, h, nq, nk)
+    # Head packing: run block_h heads per grid step to amortize the fixed
+    # per-grid-step cost (~1.5 us measured on v5e) — the dominant term at
+    # small seqlens where a head's whole attention fits in one block. Needs
+    # whole GQA groups per step so the packed K/V head block aligns 1:1 with
+    # the q head block; otherwise fall back to 1 (the round-2 layout).
+    block_h = getattr(block_sizes, "block_h", 1) or 1
+    block_h = math.gcd(block_h, h)
+    if block_h % group:
+        block_h = 1
+    block_hk = block_h // group if block_h > 1 else 1
+    if block_h > 1:
+        def k_head_idx(h_):
+            return h_  # kv head blocks align 1:1 with q head blocks
+    else:
+        def k_head_idx(h_):
+            return h_ // group
+    grid = (b, h // block_h, nq, nk)
 
     if causal and not segmented:
         # Clamp K/V index maps so pruned (skipped) blocks re-use the previous
@@ -283,14 +301,15 @@ def flash_fwd(
         def kv_block_idx(qi, ki):
             return ki
 
-    q_spec = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0))
+    q_spec = pl.BlockSpec((1, block_h, block_q, d),
+                          lambda b_, h_, qi, ki: (b_, h_, qi, 0))
     k_spec = pl.BlockSpec(
-        (1, 1, block_kv, d),
-        lambda b_, h_, qi, ki: (b_, h_ // group, kv_block_idx(qi, ki), 0),
+        (1, block_hk, block_kv, d),
+        lambda b_, h_, qi, ki: (b_, k_head_idx(h_), kv_block_idx(qi, ki), 0),
     )
     v_spec = pl.BlockSpec(
-        (1, 1, block_kv, d),
-        lambda b_, h_, qi, ki: (b_, h_ // group, kv_block_idx(qi, ki), 0),
+        (1, block_hk, block_kv, d),
+        lambda b_, h_, qi, ki: (b_, k_head_idx(h_), kv_block_idx(qi, ki), 0),
     )
     in_specs = [q_spec, k_spec, v_spec]
     inputs = [q, k, v]
@@ -323,16 +342,16 @@ def flash_fwd(
                          (b_, 0, kv_idx_seg(b_, qi, ki, lo, hi))),
         ]
         q_spec = pl.BlockSpec(
-            (1, 1, block_q, d),
+            (1, block_h, block_q, d),
             lambda b_, h_, qi, ki, lo, hi: (b_, h_, qi, 0))
         k_spec = pl.BlockSpec(
-            (1, 1, block_kv, d),
+            (1, block_hk, block_kv, d),
             lambda b_, h_, qi, ki, lo, hi:
-            (b_, h_ // group, kv_idx_seg(b_, qi, ki, lo, hi), 0))
+            (b_, k_head_idx(h_), kv_idx_seg(b_, qi, ki, lo, hi), 0))
         v_spec = pl.BlockSpec(
-            (1, 1, block_kv, d),
+            (1, block_hk, block_kv, d),
             lambda b_, h_, qi, ki, lo, hi:
-            (b_, h_ // group, kv_idx_seg(b_, qi, ki, lo, hi), 0))
+            (b_, k_head_idx(h_), kv_idx_seg(b_, qi, ki, lo, hi), 0))
         in_specs = seg_specs + [q_spec, k_spec, v_spec]
         to8 = lambda x: jnp.broadcast_to(x[:, None, :], (x.shape[0], 8, x.shape[1]))
         inputs = [to8(q_seg), to8(kv_seg), to8(q_pos), to8(kv_pos)] + inputs
@@ -344,15 +363,17 @@ def flash_fwd(
     ]
     if segmented:
         out_specs = [
-            pl.BlockSpec((1, 1, block_q, d),
+            pl.BlockSpec((1, block_h, block_q, d),
                          lambda b_, h_, qi, ki, lo, hi: (b_, h_, qi, 0)),
-            pl.BlockSpec((1, 1, 8, block_q),
+            pl.BlockSpec((1, block_h, 8, block_q),
                          lambda b_, h_, qi, ki, lo, hi: (b_, h_, 0, qi)),
         ]
     else:
         out_specs = [
-            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
-            pl.BlockSpec((1, 1, 8, block_q), lambda b_, h_, qi, ki: (b_, h_, 0, qi)),
+            pl.BlockSpec((1, block_h, block_q, d),
+                         lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
+            pl.BlockSpec((1, block_h, 8, block_q),
+                         lambda b_, h_, qi, ki: (b_, h_, 0, qi)),
         ]
 
     block_kv_inner = min(getattr(block_sizes, "block_kv_inner", block_kv)
@@ -372,13 +393,16 @@ def flash_fwd(
         block_q=block_q,
         block_kv=block_kv,
         block_kv_inner=block_kv_inner,
+        block_h=block_h,
+        group=group,
         empty_lse=empty_lse,
+        force_branch=force_branch,
     )
 
     scratch_shapes = [
-        pltpu.VMEM((block_q, LANES), jnp.float32),  # running max m
-        pltpu.VMEM((block_q, LANES), jnp.float32),  # running sum l
-        pltpu.VMEM((block_q, d), jnp.float32),      # output accumulator
+        pltpu.VMEM((block_h, block_q, LANES), jnp.float32),  # running max m
+        pltpu.VMEM((block_h, block_q, LANES), jnp.float32),  # running sum l
+        pltpu.VMEM((block_h, block_q, d), jnp.float32),      # output accum
     ]
     compiler_params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),

@@ -39,20 +39,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from flash_attention_tpu.ops._mxu import matmul_precision as _precision
+
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
-
-
-def _precision(dtype):
-    """f32 operands must run the MXU at HIGHEST precision — the default
-    (fastest) setting truncates f32 matmuls to bf16 passes on TPU, failing
-    f32-grade parity gates on hardware. bf16 stays on the native pass
-    via an explicit DEFAULT (None would let a global highest setting leak
-    fp32 contract precision onto bf16 Pallas dots; Mosaic rejects that)."""
-    if dtype == jnp.float32 and jax.default_backend() == "tpu":
-        return jax.lax.Precision.HIGHEST
-    # CPU (interpret mode) computes f32 natively-exact; the override is
-    # only needed (and only meaningful) on the MXU.
-    return jax.lax.Precision.DEFAULT
 
 
 class MultiPageCopy:
@@ -262,7 +251,9 @@ def paged_attention(
     """Single-token decode attention against a paged KV cache.
 
     Returns o (b, num_q_heads, head_dim) in q.dtype. Output rows for batch
-    slots the scheduler padded with dummies are garbage by construction.
+    slots the scheduler padded with dummies (length-1, trash page) are
+    garbage by construction; rows violating the lengths >= 1 invariant
+    return exact zeros.
     """
     b, h, d = q.shape
     hk, total_pages, page_size, _ = k_pages.shape
@@ -287,8 +278,11 @@ def paged_attention(
         interpret = jax.default_backend() == 'cpu'
     # A length-0 row would make block (b, 0, 0) dead: its warm-up DMA never
     # starts and later live blocks hang on unsignalled semaphores. Clamp to
-    # the documented >= 1 invariant so misuse yields wrong-but-finite output
-    # for that row instead of a silent deadlock (that row attends to slot 0).
+    # the documented >= 1 invariant so the kernel launch stays deadlock-free;
+    # the violating rows' outputs are zeroed after the call (ADVICE r2: a
+    # clamped row otherwise attends to page-table slot 0 and returns
+    # plausible-looking garbage — make misuse obviously empty instead).
+    orig_lengths = lengths
     lengths = jnp.maximum(lengths, 1)
 
     # (b, hk, group, d) so each grid cell sees its GQA group as the M dim.
@@ -358,6 +352,7 @@ def paged_attention(
         v_pages,
         v_scales,
     )
+    o = jnp.where((orig_lengths > 0)[:, None, None, None], o, 0)
     return o.reshape(b, h, d)
 
 

@@ -52,17 +52,8 @@ jax.tree_util.register_pytree_node(
 
 
 
-def _precision(dtype):
-    """f32 operands must run the MXU at HIGHEST precision — the default
-    (fastest) setting truncates f32 matmuls to bf16 passes on TPU, failing
-    f32-grade parity gates on hardware. bf16 stays on the native pass
-    via an explicit DEFAULT (None would let a global highest setting leak
-    fp32 contract precision onto bf16 Pallas dots; Mosaic rejects that)."""
-    if dtype == jnp.float32 and jax.default_backend() == "tpu":
-        return jax.lax.Precision.HIGHEST
-    # CPU (interpret mode) computes f32 natively-exact; the override is
-    # only needed (and only meaningful) on the MXU.
-    return jax.lax.Precision.DEFAULT
+from flash_attention_tpu.ops._mxu import matmul_precision as _precision
+
 
 def quantize_int8(w, axis: int = 0) -> QuantizedTensor:
     """Symmetric per-channel int8 quantization; ``axis`` is the contraction

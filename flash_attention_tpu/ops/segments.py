@@ -93,8 +93,19 @@ def block_ranges(
     hi_blk = jnp.max(hi_tok.reshape(b, na, block_a), axis=-1)
     hi_blk = jnp.where(hi_blk >= 0, hi_blk // block_o, -1)
 
-    # guard: metadata is only valid when the o keys are sorted
+    # guard: metadata is only valid when the o keys are sorted AND no lex key
+    # can overflow int32. Sortedness of o_key alone does not catch overflow of
+    # the synthesized a-side bounds: key_hi = (max_seg + 1) * span - 1 can wrap
+    # negative while every real o_key stays sorted (e.g. the highest segment id
+    # belongs to a short sequence), silently emptying that segment's block
+    # range. Require (max_seg + 2) * span <= INT32_MAX (the +2 also covers the
+    # pad-sentinel key big * span + 1.5 * span <= 2**30 + 1.5 * span). int64 is
+    # unavailable with x64 disabled, so oversized key spaces degrade to the
+    # full (dense, still-correct) range instead.
     sorted_ok = jnp.all(o_key[:, 1:] >= o_key[:, :-1], axis=1, keepdims=True)
+    max_seg = jnp.maximum(jnp.maximum(jnp.max(a_seg), jnp.max(o_seg)), 0)
+    no_overflow = span <= jnp.int32(2**31 - 1) // (max_seg + 2)
+    sorted_ok = jnp.logical_and(sorted_ok, no_overflow)
     no = so // block_o
     lo_blk = jnp.where(sorted_ok, lo_blk, 0)
     hi_blk = jnp.where(sorted_ok, hi_blk, no - 1)

@@ -12,6 +12,7 @@ import pytest
 
 from flash_attention_tpu import fwd
 from flash_attention_tpu.ops.reference import reference_attention
+from flash_attention_tpu.utils import debug_inputs
 from flash_attention_tpu.utils.metrics import assert_metrics
 
 # Forward-only gates: the reference gates O with the same thresholds as grads
@@ -58,6 +59,13 @@ SEQLEN_PAIRS = [
 
 
 def _make_qkv(key, b, sq, sk, h, hk, d, dtype):
+    if debug_inputs.identity_inputs_enabled():
+        # FAT_IDENTITY_INPUTS=1: one-hot rows instead of noise so a failure's
+        # FAT_FAIL_DUMP reads as a pattern (reference's use_identity_inputs,
+        # test_flash_attn.py:74-109)
+        return (debug_inputs.identity_batch(b, sq, h, d, dtype),
+                debug_inputs.identity_batch(b, sk, hk, d, dtype),
+                debug_inputs.identity_batch(b, sk, hk, d, dtype))
     kq, kk, kv = jax.random.split(key, 3)
     q = jax.random.normal(kq, (b, sq, h, d), dtype=dtype)
     k = jax.random.normal(kk, (b, sk, hk, d), dtype=dtype)
@@ -133,6 +141,26 @@ def test_fwd_gqa(nheads, nheads_k, causal):
     o_ref, lse_ref = reference_attention(q, k, v, causal=causal)
     assert_metrics(f"o[gqa {nheads}/{nheads_k}]", o, o_ref, FWD_TOLS)
     assert_metrics(f"lse[gqa {nheads}/{nheads_k}]", lse, lse_ref, LSE_TOLS)
+
+
+# GQA x boundary-shape interaction (VERDICT r2 missing #1): the reference runs
+# all its GQA pairs across the full seqlen matrix (test_flash_attn.py:255-343);
+# grouped-head dispatch meeting ragged/boundary tails is exactly what that
+# cross-product exists to catch. (4, 2) already rides BOUNDARY_PAIRS via
+# test_fwd_batch; cover the remaining pairs incl. both MQA extremes here.
+@pytest.mark.parametrize("nheads,nheads_k", [(2, 1), (6, 3), (6, 1)])
+@pytest.mark.parametrize("seqlen_q,seqlen_k", BOUNDARY_PAIRS)
+@pytest.mark.parametrize("causal", [False, True])
+def test_fwd_gqa_boundary(nheads, nheads_k, seqlen_q, seqlen_k, causal):
+    q, k, v = _make_qkv(
+        jax.random.PRNGKey(11), 2, seqlen_q, seqlen_k, nheads, nheads_k, 128,
+        jnp.float16
+    )
+    o, lse = fwd(q, k, v, is_causal=causal)
+    o_ref, lse_ref = reference_attention(q, k, v, causal=causal)
+    tag = f"gqa {nheads}/{nheads_k},{seqlen_q},{seqlen_k},causal={causal}"
+    assert_metrics(f"o[{tag}]", o, o_ref, FWD_TOLS)
+    assert_metrics(f"lse[{tag}]", lse, lse_ref, LSE_TOLS)
 
 
 @pytest.mark.parametrize("head_dim", [64, 128])

@@ -81,15 +81,45 @@ def test_paged_attention_quantized_fp8():
     assert err < 0.05, f"fp8(+scales) KV degradation too large: {err}"
 
 
+def test_paged_attention_dummy_row_isolation():
+    """Page-isolation fault test (VERDICT r2 weak #8): the engine pads the
+    decode batch with dummy rows whose reads AND write all aim at one trash
+    page. Deliberately corrupt that page with NaN/1e30 garbage and assert
+    every live row's output is BIT-identical to the clean run — i.e. no
+    block of a live row's attention ever touches the trash page."""
+    q, kp, vp, pi = _setup(4, 4, 2, 128, 16, 8, 64)
+    tables = np.asarray(pi).copy()
+    # row 3 is the dummy: length 1, whole table aimed at one trash page
+    trash = int(tables[3, 0])
+    tables[3, :] = trash
+    tables = jnp.asarray(tables)
+    lens = jnp.asarray([100, 37, 128, 1], jnp.int32)
+    o_clean = paged_attention(q, kp, vp, lens, tables, pages_per_block=2)
+    kp_bad = kp.at[:, trash].set(jnp.nan)
+    vp_bad = vp.at[:, trash].set(1e30)
+    o_bad = paged_attention(q, kp_bad, vp_bad, lens, tables, pages_per_block=2)
+    live_clean = np.asarray(o_clean[:3])
+    live_bad = np.asarray(o_bad[:3])
+    assert np.array_equal(live_clean, live_bad), (
+        "corrupting the trash page changed a live row — page isolation is "
+        "broken")
+    # and the clean run's live rows are still correct
+    oref = paged_attention_reference(q, kp, vp, lens, tables)
+    assert_metrics("paged[isolation]", o_clean[:3], oref[:3])
+
+
 def test_paged_attention_zero_length_clamped():
-    """A length-0 row (invariant violation) must yield finite output - the
-    wrapper clamps to 1 - instead of the silent semaphore deadlock a dead
-    warm-up DMA block would cause (ADVICE r1)."""
+    """A length-0 row (invariant violation) must yield exact ZEROS - the
+    wrapper clamps the kernel launch to 1 (avoiding the silent semaphore
+    deadlock a dead warm-up DMA block would cause, ADVICE r1) and then zeroes
+    the violating row so misuse is obviously empty rather than
+    plausible-looking garbage from page-table slot 0 (ADVICE r2)."""
     q, kp, vp, pi = _setup(3, 2, 2, 128, 16, 8, 64)
     lens = jnp.asarray([0, 64, 128], jnp.int32)
     o = paged_attention(q, kp, vp, lens, pi, pages_per_block=2)
     assert bool(jnp.all(jnp.isfinite(o)))
+    assert bool(jnp.all(o[0] == 0)), "zero-length row must be exactly zero"
     # live rows are unaffected by the clamped row
     oref = paged_attention_reference(q, kp, vp,
                                      jnp.asarray([1, 64, 128], jnp.int32), pi)
-    assert_metrics("paged[zero-len]", o, oref)
+    assert_metrics("paged[zero-len]", o[1:], oref[1:])

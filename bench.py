@@ -63,6 +63,22 @@ def _time_readback(f, args, reps=3):
     return (time.perf_counter() - t0) / reps
 
 
+def slope_time(chain_factory, args, n_chain, retries=3):
+    """Per-application time via the chain-slope method, guarded against RPC
+    jitter: when tn <= t1, retry with a doubled chain instead of silently
+    clamping (round 1's max(dt, 1e-9) emitted physically-impossible rows into
+    committed CSVs — twice). Returns None when the signal never rises above
+    the jitter; callers must skip the row, never fabricate it."""
+    t1 = _time_readback(chain_factory(1), args)
+    for _ in range(retries):
+        tn = _time_readback(chain_factory(n_chain), args)
+        dt = (tn - t1) / (n_chain - 1)
+        if dt > 0:
+            return dt
+        n_chain *= 2
+    return None
+
+
 def bench_fwd(batch, seqlen, heads, head_dim, causal, dtype=jnp.bfloat16,
               n_chain=None):
     # Short sequences need longer chains: the slope method loses the signal
@@ -76,9 +92,11 @@ def bench_fwd(batch, seqlen, heads, head_dim, causal, dtype=jnp.bfloat16,
     k = jax.random.normal(kk, shape, dtype)
     v = jax.random.normal(kv, shape, dtype)
 
-    t1 = _time_readback(_chain(1, causal), (q, k, v))
-    tn = _time_readback(_chain(n_chain, causal), (q, k, v))
-    dt = max((tn - t1) / (n_chain - 1), 1e-9)
+    dt = slope_time(lambda n: _chain(n, causal), (q, k, v), n_chain)
+    if dt is None:
+        raise RuntimeError(
+            f"slope timing lost to RPC jitter after retries at seq={seqlen} "
+            f"causal={causal}; refusing to emit a fabricated number")
     flops = 4 * batch * heads * seqlen * seqlen * head_dim
     if causal:
         flops //= 2

@@ -21,9 +21,10 @@ import jax.numpy as jnp
 from flash_attention_tpu.models import llama
 
 
-def cross_entropy(params, cfg, tokens):
+def cross_entropy(params, cfg, tokens, kv_fake_quant=None):
     """Mean next-token CE (nats) over the batch, teacher-forced."""
-    logits, _, _ = llama.prefill(params, tokens[:, :-1], cfg)
+    logits, _, _ = llama.prefill(params, tokens[:, :-1], cfg,
+                                 kv_fake_quant=kv_fake_quant)
     logp = jax.nn.log_softmax(logits, axis=-1)
     tgt = tokens[:, 1:]
     nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
@@ -31,13 +32,20 @@ def cross_entropy(params, cfg, tokens):
 
 
 def sample_sequences(params, cfg, n, length, key):
-    """Ancestral sampling from the fp model (temperature 1)."""
-    toks = jax.random.randint(key, (n, 1), 0, cfg.vocab_size, jnp.int32)
-    for i in range(length - 1):
+    """Ancestral sampling from the fp model (temperature 1).
+
+    Fixed-shape buffer: position i's logits come from one full-length
+    prefill (causal masking makes the not-yet-written tail irrelevant), so
+    the jit compiles ONCE instead of once per length — the difference
+    between minutes and hours through the axon compile tunnel."""
+    toks = jnp.zeros((n, length), jnp.int32)
+    toks = toks.at[:, 0].set(
+        jax.random.randint(key, (n,), 0, cfg.vocab_size, jnp.int32))
+    for i in range(1, length):
         logits, _, _ = llama.prefill(params, toks, cfg)
         key, sub = jax.random.split(key)
-        nxt = jax.random.categorical(sub, logits[:, -1])
-        toks = jnp.concatenate([toks, nxt[:, None].astype(jnp.int32)], axis=1)
+        nxt = jax.random.categorical(sub, logits[:, i - 1])
+        toks = toks.at[:, i].set(nxt.astype(jnp.int32))
     return toks
 
 
@@ -65,12 +73,24 @@ def main():
                             jax.random.PRNGKey(1))
 
     ce_fp = cross_entropy(params, cfg, toks)
-    print(f"fp32   : CE {ce_fp:.4f} nats  ppl {jnp.exp(ce_fp):.2f}")
+    print(f"fp32    : CE {ce_fp:.4f} nats  ppl {jnp.exp(ce_fp):.2f}")
+
+    def report(tag, ce):
+        print(f"{tag:8s}: CE {ce:.4f} nats  ppl {jnp.exp(ce):.2f}  "
+              f"dCE {ce - ce_fp:+.4f}  dppl {jnp.exp(ce) - jnp.exp(ce_fp):+.3f}")
+
     for bits in (8, 4):
         qp = llama.quantize_params(params, bits=bits)
-        ce = cross_entropy(qp, cfg, toks)
-        print(f"int{bits}   : CE {ce:.4f} nats  ppl {jnp.exp(ce):.2f}  "
-              f"dCE {ce - ce_fp:+.4f}  dppl {jnp.exp(ce) - jnp.exp(ce_fp):+.3f}")
+        report(f"int{bits}-W", cross_entropy(qp, cfg, toks))
+    # quantized-KV quality: same per-token quantizer the paged cache uses
+    report("int8-KV", cross_entropy(params, cfg, toks,
+                                    kv_fake_quant=jnp.int8))
+    report("fp8-KV", cross_entropy(params, cfg, toks,
+                                   kv_fake_quant=jnp.float8_e4m3fn))
+    # combined: int8 weights + int8 KV (the full quantized serving config)
+    qp8 = llama.quantize_params(params, bits=8)
+    report("int8-W+KV", cross_entropy(qp8, cfg, toks,
+                                      kv_fake_quant=jnp.int8))
 
 
 if __name__ == "__main__":

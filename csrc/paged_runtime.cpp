@@ -43,6 +43,11 @@ int32_t pages_for(const Runtime* rt, int32_t tokens) {
   return (tokens + rt->page_size - 1) / rt->page_size;
 }
 
+bool bad_slot(const Runtime* rt, int32_t slot) {
+  return slot < 0 || slot >= static_cast<int32_t>(rt->seqs.size()) ||
+         !rt->seqs[slot].live;
+}
+
 }  // namespace
 
 extern "C" {
@@ -68,12 +73,19 @@ int32_t fat_free_pages(void* h) {
   return static_cast<int32_t>(static_cast<Runtime*>(h)->free_list.size());
 }
 
-// Allocate a sequence slot holding `prompt_tokens` tokens. Returns the slot
-// id, or -1 if no slot / not enough pages (nothing is allocated on failure).
-int32_t fat_seq_alloc(void* h, int32_t prompt_tokens) {
+// Allocate a sequence slot holding `prompt_tokens` tokens, with the first
+// `live_from_page` positional table entries left as holes (-1) — the
+// sliding-window case where those tokens' KV will never be read, so no
+// physical page is spent on them. Returns the slot id, or -1 if no slot /
+// not enough pages (nothing is allocated on failure).
+int32_t fat_seq_alloc_windowed(void* h, int32_t prompt_tokens,
+                               int32_t live_from_page) {
   auto* rt = static_cast<Runtime*>(h);
   if (rt->free_slots.empty()) return -1;
-  int32_t need = pages_for(rt, prompt_tokens);
+  int32_t total = pages_for(rt, prompt_tokens);
+  if (live_from_page < 0) live_from_page = 0;
+  if (live_from_page > total) live_from_page = total;
+  int32_t need = total - live_from_page;
   if (need > static_cast<int32_t>(rt->free_list.size())) return -1;
   int32_t slot = rt->free_slots.back();
   rt->free_slots.pop_back();
@@ -81,6 +93,7 @@ int32_t fat_seq_alloc(void* h, int32_t prompt_tokens) {
   s.pages.clear();
   s.length = prompt_tokens;
   s.live = true;
+  for (int32_t i = 0; i < live_from_page; ++i) s.pages.push_back(-1);
   for (int32_t i = 0; i < need; ++i) {
     s.pages.push_back(rt->free_list.back());
     rt->free_list.pop_back();
@@ -88,13 +101,32 @@ int32_t fat_seq_alloc(void* h, int32_t prompt_tokens) {
   return slot;
 }
 
-// Grow a sequence by one token. Returns 0 on success, -1 if a new page was
-// needed but the pool is exhausted (caller should preempt).
-bool bad_slot(const Runtime* rt, int32_t slot) {
-  return slot < 0 || slot >= static_cast<int32_t>(rt->seqs.size()) ||
-         !rt->seqs[slot].live;
+int32_t fat_seq_alloc(void* h, int32_t prompt_tokens) {
+  return fat_seq_alloc_windowed(h, prompt_tokens, 0);
 }
 
+// Free the physical pages behind the first `upto_page` positional table
+// entries (sliding window moved past them); the entries become holes (-1)
+// so the table stays positional. Idempotent. Returns pages actually freed.
+int32_t fat_seq_release_prefix(void* h, int32_t slot, int32_t upto_page) {
+  auto* rt = static_cast<Runtime*>(h);
+  if (bad_slot(rt, slot)) return -1;
+  Sequence& s = rt->seqs[slot];
+  if (upto_page > static_cast<int32_t>(s.pages.size()))
+    upto_page = static_cast<int32_t>(s.pages.size());
+  int32_t freed = 0;
+  for (int32_t i = 0; i < upto_page; ++i) {
+    if (s.pages[i] >= 0) {
+      rt->free_list.push_back(s.pages[i]);
+      s.pages[i] = -1;
+      ++freed;
+    }
+  }
+  return freed;
+}
+
+// Grow a sequence by one token. Returns 0 on success, -1 if a new page was
+// needed but the pool is exhausted (caller should preempt).
 int32_t fat_seq_append(void* h, int32_t slot) {
   auto* rt = static_cast<Runtime*>(h);
   if (bad_slot(rt, slot)) return -1;
@@ -114,7 +146,8 @@ void fat_seq_free(void* h, int32_t slot) {
   auto* rt = static_cast<Runtime*>(h);
   if (bad_slot(rt, slot)) return;
   Sequence& s = rt->seqs[slot];
-  for (int32_t p : s.pages) rt->free_list.push_back(p);
+  for (int32_t p : s.pages)
+    if (p >= 0) rt->free_list.push_back(p);  // skip window holes
   s.pages.clear();
   s.length = 0;
   s.live = false;
@@ -145,7 +178,8 @@ int32_t fat_seq_page_table(void* h, int32_t slot, int32_t* out,
   const Sequence& s = rt->seqs[slot];
   int32_t n = static_cast<int32_t>(s.pages.size());
   int32_t i = 0;
-  for (; i < n && i < out_len; ++i) out[i] = s.pages[i];
+  // window holes (released/never-allocated prefix pages) also read as `pad`
+  for (; i < n && i < out_len; ++i) out[i] = s.pages[i] >= 0 ? s.pages[i] : pad;
   for (; i < out_len; ++i) out[i] = pad;
   return n;
 }
@@ -157,6 +191,20 @@ int32_t fat_can_admit(void* h, int32_t prompt_tokens, int32_t reserve_pages) {
   auto* rt = static_cast<Runtime*>(h);
   if (rt->free_slots.empty()) return 0;
   int32_t need = pages_for(rt, prompt_tokens);
+  return (need + reserve_pages <=
+          static_cast<int32_t>(rt->free_list.size()))
+             ? 1
+             : 0;
+}
+
+// Windowed admission: only the pages from `live_from_page` on are physical
+// (the prefix would be allocated as holes by fat_seq_alloc_windowed).
+int32_t fat_can_admit_windowed(void* h, int32_t prompt_tokens,
+                               int32_t live_from_page, int32_t reserve_pages) {
+  auto* rt = static_cast<Runtime*>(h);
+  if (rt->free_slots.empty()) return 0;
+  int32_t need = pages_for(rt, prompt_tokens) - live_from_page;
+  if (need < 0) need = 0;
   return (need + reserve_pages <=
           static_cast<int32_t>(rt->free_list.size()))
              ? 1

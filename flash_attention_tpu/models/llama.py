@@ -44,10 +44,23 @@ class LlamaConfig:
     hidden_dim: int = 11008
     rope_theta: float = 10000.0
     norm_eps: float = 1e-5
+    # Sliding-window attention (Mistral-style): each token attends to the
+    # last `sliding_window` positions, itself included. None = full causal.
+    # Prefill runs the flash kernel with window_size=(W-1, 0); decode runs
+    # the paged kernel with window=W, and the engine frees KV pages the
+    # window has moved past (bounded O(W) cache per sequence).
+    sliding_window: int | None = None
 
     @classmethod
     def llama2_7b(cls):
         return cls()
+
+    @classmethod
+    def mistral_7b(cls):
+        """Mistral-7B-v0.1 geometry: GQA (8 kv heads) + 4096 sliding window."""
+        return cls(vocab_size=32000, dim=4096, n_layers=32, n_heads=32,
+                   n_kv_heads=8, head_dim=128, hidden_dim=14336,
+                   rope_theta=10000.0, sliding_window=4096)
 
     @classmethod
     def tiny(cls, **kw):
@@ -175,7 +188,9 @@ def prefill(params, tokens, cfg: LlamaConfig, tp_axis: str | None = None,
                 tq, sc = _quantize_token(t, kv_fake_quant)
                 return (tq.astype(jnp.float32) * sc[..., None]).astype(t.dtype)
             k, v = fq(k), fq(v)
-        o = flash_attention(q, k, v, causal=True)
+        win = (None if cfg.sliding_window is None
+               else (cfg.sliding_window - 1, 0))
+        o = flash_attention(q, k, v, causal=True, window_size=win)
         x = x + _maybe_psum(_mm(o.reshape(b, s, -1), wo), tp_axis)
         h = _rmsnorm(x, nm, cfg.norm_eps)
         mlp = _mm(jax.nn.silu(_mm(h, wg).astype(jnp.float32)).astype(x.dtype)
@@ -285,7 +300,8 @@ def decode_step(
         kp = _scatter_token_kv(kp, write_page, write_off, k)
         vp = _scatter_token_kv(vp, write_page, write_off, v)
         o = paged_attention(q.reshape(b, -1, cfg.head_dim), kp, vp,
-                            lengths, page_tables, k_scales=kps, v_scales=vps)
+                            lengths, page_tables, k_scales=kps, v_scales=vps,
+                            window=cfg.sliding_window)
         x = x + _maybe_psum(_mm(o.reshape(b, -1), wo), tp_axis)
         h = _rmsnorm(x, nm, cfg.norm_eps)
         mlp = _mm(jax.nn.silu(_mm(h, wg).astype(jnp.float32)).astype(x.dtype)

@@ -99,7 +99,7 @@ def _float0_like(x):
 
 
 def _fwd_padded(q, k, v, segs, *, causal, sm_scale, block_sizes, interpret,
-                empty_lse=0.0):
+                window=None, empty_lse=0.0):
     """q (b,sq,h,d); k/v (b,sk,hk,d); segs None or (q_seg, kv_seg, q_pos, kv_pos)."""
     b, sq, h, d = q.shape
     _, sk, hk, _ = k.shape
@@ -135,7 +135,8 @@ def _fwd_padded(q, k, v, segs, *, causal, sm_scale, block_sizes, interpret,
     o, lse = _fwd_mod.flash_fwd(
         qp, kp, vp, *seg_args,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
-        seqlen_q=sq, seqlen_k=sk, interpret=interpret, empty_lse=empty_lse,
+        seqlen_q=sq, seqlen_k=sk, window=window, interpret=interpret,
+        empty_lse=empty_lse,
     )
     o = jnp.swapaxes(o[:, :, :sq, :d], 1, 2).astype(q.dtype)  # (b, sq, h, d)
     lse = lse[:, :, :sq]  # (b, h, sq)
@@ -151,6 +152,7 @@ def flash_attention(
     segment_ids: SegmentIds | None = None,
     block_sizes: BlockSizes | None = None,
     interpret: bool | None = None,
+    window_size: tuple | None = None,
     return_lse: bool = False,
 ):
     """Differentiable flash attention.
@@ -161,6 +163,11 @@ def flash_attention(
       causal: lower-right-aligned causal masking (mask.h:172 semantics).
       sm_scale: softmax scale, default 1/sqrt(head_dim).
       segment_ids: optional SegmentIds for packed batches.
+      window_size: optional (left, right) sliding window — query i attends
+        keys in [i + off - left, i + off + right] with lower-right alignment
+        (off = seqlen_k - seqlen_q); entries < 0 mean unbounded (the upstream
+        flash-attention convention). Composes with causal (right -> 0) and
+        with segment_ids (window over within-segment positions).
       return_lse: additionally return LSE (batch, num_heads, seqlen_q) fp32.
 
     Returns:
@@ -170,40 +177,45 @@ def flash_attention(
     if segment_ids is not None:
         q_pos, kv_pos = _positions_from_segment_ids(segment_ids)
         segs = (segment_ids.q, segment_ids.kv, q_pos, kv_pos)
+    if window_size is not None:
+        window_size = tuple(window_size)  # hashable static arg
     o, lse = _flash_attention_custom(
-        q, k, v, segs, causal, sm_scale, block_sizes, interpret
+        q, k, v, segs, causal, sm_scale, block_sizes, interpret, window_size
     )
     if return_lse:
         return o, lse
     return o
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash_attention_custom(q, k, v, segs, causal, sm_scale, block_sizes, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_attention_custom(q, k, v, segs, causal, sm_scale, block_sizes,
+                            interpret, window):
     o, lse = _fwd_padded(
         q, k, v, segs,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
-        interpret=interpret,
+        interpret=interpret, window=window,
     )
     return o, lse
 
 
-def _flash_attention_fwd(q, k, v, segs, causal, sm_scale, block_sizes, interpret):
+def _flash_attention_fwd(q, k, v, segs, causal, sm_scale, block_sizes,
+                         interpret, window):
     o, lse = _fwd_padded(
         q, k, v, segs,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
-        interpret=interpret,
+        interpret=interpret, window=window,
     )
     return (o, lse), (q, k, v, segs, o, lse)
 
 
-def _flash_attention_bwd(causal, sm_scale, block_sizes, interpret, res, cts):
+def _flash_attention_bwd(causal, sm_scale, block_sizes, interpret, window,
+                         res, cts):
     q, k, v, segs, o, lse = res
     do, _ = cts  # cotangent of lse unsupported (matches reference bwd API)
     dq, dk, dv = bwd(
         q, k, v, o, lse, do,
         is_causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
-        interpret=interpret, segs=segs,
+        interpret=interpret, segs=segs, window_size=window,
     )
     dsegs = None
     if segs is not None:
@@ -244,17 +256,21 @@ def fwd(
     block_sizes: BlockSizes | None = None,
     interpret: bool | None = None,
     segs=None,
+    window_size: tuple | None = None,
     empty_lse: float = 0.0,
 ):
     """Forward pass: (o, lse). Parity with reference ``fwd`` (flash_api.cpp:156).
 
     q: (b, sq, h, d); k/v: (b, sk, hk, d). Returns o (b, sq, h, d) and
     lse (b, h, sq) fp32 (the reference's ``l`` tensor, flash_api.cpp:187-188).
+    ``window_size``: optional (left, right) sliding window, upstream
+    flash-attention semantics (entries < 0 = unbounded).
     """
     o, lse = _fwd_padded(
         q, k, v, segs,
         causal=is_causal, sm_scale=sm_scale, block_sizes=block_sizes,
         interpret=interpret, empty_lse=empty_lse,
+        window=None if window_size is None else tuple(window_size),
     )
     return o, lse
 
@@ -265,6 +281,7 @@ def bwd(
     block_sizes: BlockSizes | None = None,
     interpret: bool | None = None,
     segs=None,
+    window_size: tuple | None = None,
     parts: str = "all",
 ):
     """Backward pass: (dq, dk, dv). Parity with reference ``bwd``
@@ -312,6 +329,7 @@ def bwd(
         qp, kp, vp, op, lsep, dop, *seg_args,
         causal=is_causal, sm_scale=sm_scale, block_sizes=block_sizes,
         seqlen_q=sq, seqlen_k=sk, interpret=interpret, parts=parts,
+        window=None if window_size is None else tuple(window_size),
     )
     if parts == "di":
         return out
@@ -367,6 +385,7 @@ def varlen_fwd(
     sm_scale: float | None = None,
     block_sizes: BlockSizes | None = None,
     interpret: bool | None = None,
+    window_size: tuple | None = None,
 ):
     """Packed variable-length forward. Parity with reference ``varlen_fwd``
     (flash_api.cpp:319-381).
@@ -375,6 +394,8 @@ def varlen_fwd(
     Returns o (total_q, h, d) and lse (h, total_q) fp32 — packed layout
     (deviation from the reference's (b, h, max_sq) LSE, which only existed to
     match its kernel's stride scheme; ``varlen_bwd`` consumes this form).
+    ``window_size``: optional (left, right) sliding window over
+    within-sequence positions (per-sequence lower-right alignment).
     """
     total_q, h, d = q.shape
     total_k, hk, _ = k.shape
@@ -383,6 +404,7 @@ def varlen_fwd(
         q[None], k[None], v[None], segs4,
         causal=is_causal, sm_scale=sm_scale, block_sizes=block_sizes,
         interpret=interpret,
+        window=None if window_size is None else tuple(window_size),
     )
     return o[0], lse[0]
 
@@ -394,6 +416,7 @@ def varlen_bwd(
     sm_scale: float | None = None,
     block_sizes: BlockSizes | None = None,
     interpret: bool | None = None,
+    window_size: tuple | None = None,
 ):
     """Packed variable-length backward. Parity with reference ``varlen_bwd``
     (flash_api.cpp:383-468). lse is the packed (h, total_q) form returned by
@@ -404,6 +427,6 @@ def varlen_bwd(
     dq, dk, dv = bwd(
         q[None], k[None], v[None], o[None], lse[None], do[None],
         is_causal=is_causal, sm_scale=sm_scale, block_sizes=block_sizes,
-        interpret=interpret, segs=segs4,
+        interpret=interpret, segs=segs4, window_size=window_size,
     )
     return dq[0], dk[0], dv[0]

@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from flash_attention_tpu.ops import segments
 from flash_attention_tpu.ops.configs import BlockSizes
+from flash_attention_tpu.ops.flash_fwd import normalize_band
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 from flash_attention_tpu.ops._mxu import matmul_precision as _precision
@@ -44,7 +45,7 @@ LANES = 128
 
 def _mask_scores(
     s, qi, ki, block_q, block_kv, *, causal, segmented,
-    seqlen_q, seqlen_k, n_kv_blocks,
+    seqlen_q, seqlen_k, n_kv_blocks, band=None,
     q_seg=None, kv_seg=None, q_pos=None, kv_pos=None,
 ):
     """Set masked-out lanes of the (block_q, block_kv) score tile to
@@ -52,6 +53,11 @@ def _mask_scores(
     lanes (and on fully-masked rows, whose lse is the 0 sentinel), so callers
     need no second select. Under causal the OOB-column (padding) mask is
     implied by the causal compare in global coordinates.
+
+    ``band`` is the normalized (left, right) window (flash_fwd.normalize_band
+    output): for the dense path causal is already folded into it (right = 0);
+    for the segmented path it holds only the window part and applies over
+    per-token positions alongside the causal position compare.
 
     Segment/position args are 1D (block,) vectors (already sliced from their
     (b, 8, s) refs)."""
@@ -62,10 +68,34 @@ def _mask_scores(
             qs = jax.lax.broadcast_in_dim(q_seg, s_shape, (0,))
             ks = jax.lax.broadcast_in_dim(kv_seg, s_shape, (1,))
             mask = qs == ks  # pad tokens carry sentinel segs (-1/-2): masked
-            if causal:
+            if causal or band is not None:
                 qp = jax.lax.broadcast_in_dim(q_pos, s_shape, (0,))
                 kp = jax.lax.broadcast_in_dim(kv_pos, s_shape, (1,))
-                mask &= kp <= qp
+                if causal:
+                    mask &= kp <= qp
+                if band is not None:
+                    wl, wr = band
+                    if wl is not None:
+                        mask &= kp >= qp - wl
+                    if wr is not None:
+                        mask &= kp <= qp + wr
+        elif band is not None:
+            # banded (causal and/or sliding-window): rel = col - row - off;
+            # live iff -left <= rel <= right. right <= 0 implies the
+            # OOB-column mask (col >= seqlen_k gives rel >= 1 for real rows).
+            wl, wr = band
+            col_ids = jax.lax.broadcasted_iota(jnp.int32, s_shape, 1)
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, s_shape, 0)
+            rel = ((ki * block_kv + col_ids) - (qi * block_q + row_ids)
+                   - (seqlen_k - seqlen_q))
+            mask = None
+            if wr is not None:
+                mask = rel <= wr
+            if wl is not None:
+                lo = rel >= -wl
+                mask = lo if mask is None else mask & lo
+            if wr is None or wr > 0:
+                mask &= (ki * block_kv + col_ids) < seqlen_k
         elif causal:
             # col >= seqlen_k implies col - row > off for every real row, so
             # one compare covers the padding mask too. (Pad q rows may pass
@@ -82,7 +112,8 @@ def _mask_scores(
     # Apply unconditionally: a dynamic lax.cond here turns the enclosing
     # pl.when(should_run) into full predicated execution and defeats causal
     # block skipping entirely (measured: causal == dense wall-clock).
-    if segmented or causal or seqlen_k != block_kv * n_kv_blocks:
+    if (segmented or causal or band is not None
+            or seqlen_k != block_kv * n_kv_blocks):
         return apply_mask(s)
     return s
 
@@ -121,6 +152,7 @@ def _dq_kernel(
     *refs,
     sm_scale: float,
     causal: bool,
+    band: tuple | None,
     segmented: bool,
     seqlen_q: int,
     seqlen_k: int,
@@ -144,9 +176,16 @@ def _dq_kernel(
     def _init():
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    if causal and not segmented:
+    if band is not None and not segmented:
+        # skip kv blocks entirely outside the (causal and/or window) band
+        wl, wr = band
         off = seqlen_k - seqlen_q
-        should_run = ki * block_kv <= qi * block_q + block_q - 1 + off
+        should_run = True
+        if wr is not None:
+            should_run &= ki * block_kv <= qi * block_q + block_q - 1 + off + wr
+        if wl is not None:
+            should_run &= (ki * block_kv + block_kv - 1
+                           >= qi * block_q + off - wl)
     elif segmented:
         # segment-aware block skipping (ops.segments; VERDICT r1 weak #5)
         bi = pl.program_id(0)
@@ -170,14 +209,15 @@ def _dq_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=_precision(q.dtype),
         ) * sm_scale
+        need_pos = segmented and (causal or band is not None)
         s = _mask_scores(
             s, qi, ki, block_q, block_kv,
-            causal=causal, segmented=segmented,
+            causal=causal, band=band, segmented=segmented,
             seqlen_q=seqlen_q, seqlen_k=seqlen_k, n_kv_blocks=nk,
             q_seg=q_seg_ref[0, 0, :] if segmented else None,
             kv_seg=kv_seg_ref[0, 0, :] if segmented else None,
-            q_pos=q_pos_ref[0, 0, :] if (segmented and causal) else None,
-            kv_pos=kv_pos_ref[0, 0, :] if (segmented and causal) else None,
+            q_pos=q_pos_ref[0, 0, :] if need_pos else None,
+            kv_pos=kv_pos_ref[0, 0, :] if need_pos else None,
         )
         p = jnp.exp(s - lse)  # normalized probs; masked lanes underflow to 0
         dp = jax.lax.dot_general(
@@ -199,6 +239,7 @@ def _dkv_kernel(
     *refs,
     sm_scale: float,
     causal: bool,
+    band: tuple | None,
     segmented: bool,
     seqlen_q: int,
     seqlen_k: int,
@@ -225,11 +266,18 @@ def _dkv_kernel(
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    if causal and not segmented:
-        # Skip q blocks entirely above the (lower-right) diagonal band for
-        # this kv block: need rows r with ki*bkv <= r + off.
+    if band is not None and not segmented:
+        # Skip q blocks entirely outside the band for this kv block: a col c
+        # is seen by rows r with c - off - right <= r <= c - off + left.
+        wl, wr = band
         off = seqlen_k - seqlen_q
-        should_run = qi * block_q + block_q - 1 >= ki * block_kv - off
+        should_run = True
+        if wr is not None:
+            should_run &= (qi * block_q + block_q - 1
+                           >= ki * block_kv - off - wr)
+        if wl is not None:
+            should_run &= (qi * block_q
+                           <= ki * block_kv + block_kv - 1 - off + wl)
     elif segmented:
         bi = pl.program_id(0)
         should_run = (qi >= qlo_ref[bi, ki]) & (qi <= qhi_ref[bi, ki])
@@ -251,15 +299,16 @@ def _dkv_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=_precision(q.dtype),
         ) * sm_scale
+        need_pos = segmented and (causal or band is not None)
         s = _mask_scores(
             s, qi, ki, block_q, block_kv,
-            causal=causal, segmented=segmented,
+            causal=causal, band=band, segmented=segmented,
             seqlen_q=seqlen_q, seqlen_k=seqlen_k,
             n_kv_blocks=pl.num_programs(2),
             q_seg=q_seg_ref[0, 0, :] if segmented else None,
             kv_seg=kv_seg_ref[0, 0, :] if segmented else None,
-            q_pos=q_pos_ref[0, 0, :] if (segmented and causal) else None,
-            kv_pos=kv_pos_ref[0, 0, :] if (segmented and causal) else None,
+            q_pos=q_pos_ref[0, 0, :] if need_pos else None,
+            kv_pos=kv_pos_ref[0, 0, :] if need_pos else None,
         )
         p = jnp.exp(s - lse)  # (bq, bkv); masked lanes underflow to 0
         dp = jax.lax.dot_general(
@@ -289,7 +338,7 @@ def _dkv_kernel(
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "block_sizes", "seqlen_q", "seqlen_k",
-        "interpret", "debug", "parts",
+        "window", "interpret", "debug", "parts",
     ),
 )
 def flash_bwd(
@@ -309,6 +358,8 @@ def flash_bwd(
     block_sizes: BlockSizes,
     seqlen_q: int,
     seqlen_k: int,
+    window: tuple | None = None,  # sliding window (left, right); < 0 entries
+    # mean unbounded (see flash_fwd.normalize_band)
     interpret: bool = False,
     debug: bool = False,
     parts: str = "all",
@@ -367,8 +418,11 @@ def flash_bwd(
     def to8(x):
         return jnp.broadcast_to(x[:, None, :], (x.shape[0], 8, x.shape[1]))
 
+    # causal folds into the band for the dense path; segmented keeps causal
+    # as position compares and only takes the window part (see flash_fwd).
+    band = normalize_band(False if segmented else causal, window)
     common = dict(
-        sm_scale=sm_scale, causal=causal, segmented=segmented,
+        sm_scale=sm_scale, causal=causal, band=band, segmented=segmented,
         seqlen_q=seqlen_q, seqlen_k=seqlen_k,
     )
 
@@ -384,12 +438,22 @@ def flash_bwd(
     bkv = _snap_block(sk_pad, min(block_sizes.block_kv_dq, f32_cap))
     nq, nk = sq_pad // bq, sk_pad // bkv
 
-    if causal and not segmented:
+    if band is not None and not segmented:
+        # clamp streamed kv-block indices into the band's live range so
+        # pruned blocks re-use an adjacent block and their DMA is elided
+        wl_b, wr_b = band
         off = seqlen_k - seqlen_q
 
         def kv_idx(qi, ki):
-            last = jax.lax.div(qi * bq + bq - 1 + off, bkv)
-            return jnp.clip(ki, 0, jnp.maximum(last, 0))
+            lo = 0
+            hi = nk - 1
+            if wr_b is not None:
+                hi = jnp.maximum(
+                    jax.lax.div(qi * bq + bq - 1 + off + wr_b, bkv), 0)
+            if wl_b is not None:
+                lo = jnp.clip(jax.lax.div(qi * bq + off - wl_b, bkv),
+                              0, nk - 1)
+            return jnp.clip(ki, lo, jnp.maximum(hi, lo))
     else:
         def kv_idx(qi, ki):
             return ki
@@ -483,12 +547,22 @@ def flash_bwd(
     bkv = _snap_block(sk_pad, min(block_sizes.block_kv_dkv, f32_cap))
     nq, nk = sq_pad // bq, sk_pad // bkv
 
-    if causal and not segmented:
+    if band is not None and not segmented:
+        wl_b, wr_b = band
         off = seqlen_k - seqlen_q
 
         def q_idx(ki, qi):
-            first = jax.lax.div(jnp.maximum(ki * bkv - off, 0), bq)
-            return jnp.clip(qi, jnp.minimum(first, nq - 1), nq - 1)
+            first = 0
+            last = nq - 1
+            if wr_b is not None:
+                first = jax.lax.div(
+                    jnp.maximum(ki * bkv - off - wr_b, 0), bq)
+                first = jnp.minimum(first, nq - 1)
+            if wl_b is not None:
+                last = jnp.clip(
+                    jax.lax.div(ki * bkv + bkv - 1 - off + wl_b, bq),
+                    0, nq - 1)
+            return jnp.clip(qi, first, jnp.maximum(last, first))
     else:
         def q_idx(ki, qi):
             return qi

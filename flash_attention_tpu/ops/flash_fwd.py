@@ -43,11 +43,34 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
 
 
+def normalize_band(causal: bool, window) -> tuple | None:
+    """Fold ``causal`` and a flash-attn-style ``window_size`` into one band.
+
+    Returns (left, right) with ``None`` meaning unbounded on that side, or
+    ``None`` when no banding applies at all (dense). Window entries < 0 mean
+    unbounded (the reference ecosystem's -1 convention); causal clamps the
+    right bound to 0. Shared by the fwd and bwd launchers so schedule and
+    mask agree. For the varlen/segmented path, pass causal=False — causality
+    there is a per-token position compare, not a global band."""
+    if window is None:
+        return (None, 0) if causal else None
+    wl, wr = window
+    wl = None if wl is None or wl < 0 else int(wl)
+    wr = None if wr is None or wr < 0 else int(wr)
+    if causal:
+        wr = 0 if wr is None else min(wr, 0)
+    if wl is None and wr is None:
+        return (None, 0) if causal else None
+    return (wl, wr)
+
+
 def _fwd_kernel(
     # refs (segment refs present only when segmented=True)
     *refs,
     sm_scale: float,
     causal: bool,
+    band: tuple | None,  # (left, right) window bounds, None entry = infinite;
+    # causal folds in as right == 0 (dense path). None = no banding at all.
     segmented: bool,
     seqlen_q: int,
     seqlen_k: int,
@@ -108,19 +131,41 @@ def _fwd_kernel(
                 q_seg = jax.lax.broadcast_in_dim(q_seg_ref[0, 0, :], shape, (0,))
                 kv_seg = jax.lax.broadcast_in_dim(kv_seg_ref[0, 0, sl], shape, (1,))
                 mask = q_seg == kv_seg
-                if causal:
+                if causal or band is not None:
                     q_pos = jax.lax.broadcast_in_dim(q_pos_ref[0, 0, :], shape, (0,))
                     kv_pos = jax.lax.broadcast_in_dim(kv_pos_ref[0, 0, sl], shape, (1,))
-                    mask &= kv_pos <= q_pos
-            elif causal:
-                # The OOB-column (padding) mask is implied: col >= seqlen_k
-                # gives col - row >= seqlen_k - (seqlen_q - 1) > off for every
-                # real row, so one compare covers both. (Pad q rows may pass
-                # garbage; they are sliced off by the wrapper.)
+                    if causal:
+                        mask &= kv_pos <= q_pos
+                    if band is not None:
+                        # sliding window over per-sequence positions (the
+                        # varlen analogue of the dense band below)
+                        wl, wr = band
+                        if wl is not None:
+                            mask &= kv_pos >= q_pos - wl
+                        if wr is not None:
+                            mask &= kv_pos <= q_pos + wr
+            elif band is not None:
+                # Banded (causal and/or sliding-window) mask, lower-right
+                # aligned: key col relative to query row is
+                # rel = col - row - (seqlen_k - seqlen_q); live iff
+                # -left <= rel <= right (None bound = unbounded). Plain causal
+                # is right == 0. The OOB-column (padding) mask is implied
+                # whenever right <= 0: col >= seqlen_k gives rel >= 1 for
+                # every real row, so the right-bound compare covers both.
+                # (Pad q rows may pass garbage; the wrapper slices them off.)
+                wl, wr = band
                 col_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
                 row_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-                off = seqlen_k - seqlen_q
-                mask = (col0 + col_ids) - (qi * block_q + row_ids) <= off
+                rel = ((col0 + col_ids) - (qi * block_q + row_ids)
+                       - (seqlen_k - seqlen_q))
+                mask = None
+                if wr is not None:
+                    mask = rel <= wr
+                if wl is not None:
+                    lo = rel >= -wl
+                    mask = lo if mask is None else mask & lo
+                if wr is None or wr > 0:
+                    mask &= (col0 + col_ids) < seqlen_k  # OOB not implied
             else:
                 col_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
                 mask = (col0 + col_ids) < seqlen_k  # OOB cols (padding)
@@ -167,19 +212,34 @@ def _fwd_kernel(
             for sub in range(block_kv // block_kv_inner):
                 _online_softmax_step(hp, sub, masked)
 
-    # Block-level schedule. Three states: pruned (above the causal diagonal —
-    # no compute, and the wrapper's clamped index map already elided the DMA),
+    # Block-level schedule. Three states: pruned (outside the band — no
+    # compute, and the wrapper's clamped index map already elided the DMA),
     # interior (live, no masking work at all), and masked (blocks straddling
-    # the lower-right diagonal, plus the padded tail block). A single
-    # top-level lax.switch keeps this a real branch — nesting a dynamic cond
-    # INSIDE pl.when makes Mosaic predicate both paths and causal degenerates
-    # to dense cost (measured, round 1).
-    if causal and not segmented:
+    # a band edge, plus the padded tail block). A single top-level lax.switch
+    # keeps this a real branch — nesting a dynamic cond INSIDE pl.when makes
+    # Mosaic predicate both paths and causal degenerates to dense cost
+    # (measured, round 1). Plain causal is the band (None, 0); a sliding
+    # window adds/changes the bounds but reuses the same schedule.
+    if band is not None and not segmented:
+        wl, wr = band
         off = seqlen_k - seqlen_q
-        last_row = qi * block_q + block_q - 1
-        should_run = ki * block_kv <= last_row + off
-        # fully unmasked iff even the FIRST row allows this block's last col
-        need_mask = ki * block_kv + block_kv - 1 > qi * block_q + off
+        first_row = qi * block_q
+        last_row = first_row + block_q - 1
+        first_col = ki * block_kv
+        last_col = first_col + block_kv - 1
+        should_run = True
+        interior = True
+        if wr is not None:
+            # live iff the first col is allowed by the LAST (widest) row;
+            # interior iff even the FIRST row allows this block's last col
+            should_run &= first_col <= last_row + off + wr
+            interior &= last_col <= first_row + off + wr
+        if wl is not None:
+            should_run &= last_col >= first_row + off - wl
+            interior &= first_col >= last_row + off - wl
+        if wr is None or wr > 0:
+            interior &= last_col < seqlen_k  # padded tail still needs masking
+        need_mask = jnp.logical_not(interior)
         if force_branch == "nomask":     # perf-debug: mask-free ceiling
             jax.lax.cond(should_run, functools.partial(_run, False),
                          lambda: None)
@@ -232,7 +292,7 @@ def _fwd_kernel(
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "block_sizes", "seqlen_q", "seqlen_k",
-        "interpret", "debug", "empty_lse", "force_branch",
+        "window", "interpret", "debug", "empty_lse", "force_branch",
     ),
 )
 def flash_fwd(
@@ -249,6 +309,9 @@ def flash_fwd(
     block_sizes: BlockSizes,
     seqlen_q: int,  # actual (pre-padding) seqlen_q
     seqlen_k: int,
+    window: tuple | None = None,  # sliding window (left, right): query row i
+    # (lower-right aligned) sees key cols in [i+off-left, i+off+right];
+    # entries < 0 mean unbounded. Composes with causal (right clamps to 0).
     interpret: bool = False,
     debug: bool = False,
     empty_lse: float = 0.0,  # lse sentinel for fully-masked rows
@@ -289,14 +352,27 @@ def flash_fwd(
             return h_ // group
     grid = (b, h // block_h, nq, nk)
 
-    if causal and not segmented:
-        # Clamp K/V index maps so pruned (skipped) blocks re-use the previous
-        # block and no DMA is issued for them.
+    # Causality folds into a (left, right) band; a sliding window narrows it
+    # (normalize_band). The segmented path keeps causal as per-token position
+    # compares and only passes the window part of the band.
+    band = normalize_band(False if segmented else causal, window)
+    if band is not None and not segmented:
+        # Clamp K/V index maps so pruned (skipped) blocks re-use an adjacent
+        # live block and no DMA is issued for them.
+        wl, wr = band
         off = seqlen_k - seqlen_q
 
         def kv_block_idx(qi, ki):
-            last = jax.lax.div(qi * block_q + block_q - 1 + off, block_kv)
-            return jnp.clip(ki, 0, jnp.maximum(last, 0))
+            lo = 0
+            hi = nk - 1
+            if wr is not None:
+                hi = jnp.maximum(
+                    jax.lax.div(qi * block_q + block_q - 1 + off + wr,
+                                block_kv), 0)
+            if wl is not None:
+                lo = jnp.clip(
+                    jax.lax.div(qi * block_q + off - wl, block_kv), 0, nk - 1)
+            return jnp.clip(ki, lo, jnp.maximum(hi, lo))
     else:
         def kv_block_idx(qi, ki):
             return ki
@@ -387,6 +463,7 @@ def flash_fwd(
         _fwd_kernel,
         sm_scale=sm_scale,
         causal=causal,
+        band=band,
         segmented=segmented,
         seqlen_q=seqlen_q,
         seqlen_k=seqlen_k,

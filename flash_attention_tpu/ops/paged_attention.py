@@ -97,6 +97,7 @@ def _paged_attn_kernel(
     page_size: int,
     sm_scale: float,
     quantized: bool,
+    window: int | None,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -105,6 +106,18 @@ def _paged_attn_kernel(
     num_kv_heads = pl.num_programs(1)
     bk = pages_per_block * page_size
     length = lengths_ref[b]
+
+    def win_start(blen):
+        """First live key position under the sliding window: the decode
+        query sits at position blen - 1 and sees the last ``window`` tokens
+        (itself included). None = dense decode, start 0."""
+        if window is None:
+            return jnp.int32(0)
+        return jnp.maximum(blen - window, 0)
+
+    # first live compute block of a (b, h) cell; always < ceil(length / bk)
+    # because win_start < length, so every cell still has >= 1 live block
+    lo_block = win_start(length) // bk
 
     def copies(b_, h_, i_, slot):
         start = b_ * pages_per_seq + i_ * pages_per_block
@@ -124,37 +137,34 @@ def _paged_attn_kernel(
         return cs
 
     def next_live_block(b_, h_, i_):
-        """Grid coords of the next block that computes. Blocks past a
-        sequence's length are dead and contiguous at the tail of each (b, h)
-        cell, and block 0 is always live (length >= 1), so one skip to the
-        next (b, h) suffices. Returns b == batch_size when the grid ends."""
+        """Grid coords of the next block that computes. Each (b, h) cell's
+        live blocks are contiguous in [win_start // bk, ceil(length / bk)):
+        dense decode starts at 0 (length >= 1 keeps block 0 live), sliding
+        window starts at the block holding the window's first key. One hop
+        to the next cell's first live block therefore suffices. Returns
+        b == batch_size when the grid ends."""
+        blen_cur = lengths_ref[b_]
         i_n = i_ + 1
-        h_n = jnp.where(i_n == num_blocks, h_ + 1, h_)
-        i_n = jnp.where(i_n == num_blocks, 0, i_n)
+        # past this cell's last live block (or the grid edge) -> next cell
+        cell_done = (i_n == num_blocks) | (i_n * bk >= blen_cur)
+        h_n = jnp.where(cell_done, h_ + 1, h_)
         b_n = jnp.where(h_n == num_kv_heads, b_ + 1, b_)
         h_n = jnp.where(h_n == num_kv_heads, 0, h_n)
-        blen = lengths_ref[jnp.minimum(b_n, batch_size - 1)]
-        dead = (b_n < batch_size) & (i_n * bk >= blen)
-        # advance to the next (b, h) cell's block 0
-        h_s = h_n + 1
-        b_s = jnp.where(h_s == num_kv_heads, b_n + 1, b_n)
-        h_s = jnp.where(h_s == num_kv_heads, 0, h_s)
-        b_n = jnp.where(dead, b_s, b_n)
-        h_n = jnp.where(dead, h_s, h_n)
-        i_n = jnp.where(dead, 0, i_n)
+        blen_next = lengths_ref[jnp.minimum(b_n, batch_size - 1)]
+        i_n = jnp.where(cell_done, win_start(blen_next) // bk, i_n)
         return b_n, h_n, i_n
 
-    @pl.when(i * bk < length)
+    @pl.when((i >= lo_block) & (i * bk < length))
     def _run():
-        # ---- init accumulators on the first block of this (b, h) ----
-        @pl.when(i == 0)
+        # ---- init accumulators on the first live block of this (b, h) ----
+        @pl.when(i == lo_block)
         def _init():
             m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
             l_scr[...] = jnp.zeros_like(l_scr)
             acc_scr[...] = jnp.zeros_like(acc_scr)
 
         # ---- warm-up: the very first live block starts its own DMA ----
-        is_first = (b == 0) & (h == 0) & (i == 0)
+        is_first = (b == 0) & (h == 0) & (i == lo_block)
 
         @pl.when(is_first)
         def _first():
@@ -200,7 +210,10 @@ def _paged_attn_kernel(
             s = s * ks[None, :]
 
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(i * bk + col < length, s, MASK_VALUE)
+        live = i * bk + col < length
+        if window is not None:
+            live &= i * bk + col >= win_start(length)
+        s = jnp.where(live, s, MASK_VALUE)
 
         m_prev = m_scr[...]
         l_prev = l_scr[...]
@@ -233,7 +246,7 @@ def _paged_attn_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "pages_per_block", "interpret"),
+    static_argnames=("sm_scale", "pages_per_block", "window", "interpret"),
 )
 def paged_attention(
     q,              # (b, num_q_heads, head_dim)
@@ -246,9 +259,17 @@ def paged_attention(
     v_scales=None,
     sm_scale: float | None = None,
     pages_per_block: int = 8,
+    window: int | None = None,
     interpret: bool | None = None,
 ):
     """Single-token decode attention against a paged KV cache.
+
+    ``window``: sliding-window decode — the query (position length-1) sees
+    only the last ``window`` tokens, itself included (key positions in
+    [length - window, length)). Compute blocks wholly below the window start
+    are skipped — no DMA, no MXU — so the engine may free (and the table may
+    dangle) any page whose whole block is behind the window. This is the
+    decode half of the training kernels' ``window_size=(window-1, 0)``.
 
     Returns o (b, num_q_heads, head_dim) in q.dtype. Output rows for batch
     slots the scheduler padded with dummies (length-1, trash page) are
@@ -274,6 +295,9 @@ def paged_attention(
         raise ValueError(
             f"quantized KV requires page_size == 128 (scale lane = token in "
             f"page); got {page_size}")
+    if window is not None and window < 1:
+        raise ValueError(f"window must be >= 1 (the decode token always sees "
+                         f"itself); got {window}")
     if interpret is None:
         interpret = jax.default_backend() == 'cpu'
     # A length-0 row would make block (b, 0, 0) dead: its warm-up DMA never
@@ -306,6 +330,7 @@ def paged_attention(
         page_size=page_size,
         sm_scale=sm_scale,
         quantized=quantized,
+        window=window,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -358,7 +383,7 @@ def paged_attention(
 
 def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices,
                               *, k_scales=None, v_scales=None,
-                              sm_scale=None):
+                              sm_scale=None, window=None):
     """Plain-JAX oracle: gather pages densely and run masked attention."""
     b, h, d = q.shape
     hk, _, page_size, _ = k_pages.shape
@@ -378,6 +403,9 @@ def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices,
     s = jnp.einsum("bhgd,bhtd->bhgt", qg, k.astype(jnp.float32)) * sm_scale
     t = s.shape[-1]
     mask = jnp.arange(t)[None, :] < lengths[:, None]  # (b, t)
+    if window is not None:
+        mask &= (jnp.arange(t)[None, :]
+                 >= jnp.maximum(lengths - window, 0)[:, None])
     s = jnp.where(mask[:, None, None, :], s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bhgt,bhtd->bhgd", p, v.astype(jnp.float32))

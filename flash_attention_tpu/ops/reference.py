@@ -33,19 +33,43 @@ def _build_mask(
     kv_segment_ids=None,
     q_positions=None,
     kv_positions=None,
+    window=None,
 ):
-    """Boolean (sq, sk) or (b, sq, sk) mask; True = attend allowed."""
+    """Boolean (sq, sk) or (b, sq, sk) mask; True = attend allowed.
+
+    ``window`` is flash-attn's (left, right) sliding window: query row i
+    sees key cols in [i + off - left, i + off + right] (lower-right
+    alignment, off = seqlen_k - seqlen_q); entries < 0 mean unbounded.
+    """
     mask = None
-    if causal:
-        if q_positions is None:
-            rows = jnp.arange(seqlen_q)[:, None]
-            cols = jnp.arange(seqlen_k)[None, :]
-            # lower-right alignment
-            mask = (cols - rows) <= (seqlen_k - seqlen_q)
-        else:
-            # varlen: positions are per-token within each segment, with the
-            # q positions pre-shifted by (len_k - len_q) per segment.
-            mask = kv_positions[..., None, :] <= q_positions[..., :, None]
+    if q_positions is None:
+        rows = jnp.arange(seqlen_q)[:, None]
+        cols = jnp.arange(seqlen_k)[None, :]
+        rel = (cols - rows) - (seqlen_k - seqlen_q)  # lower-right alignment
+        if causal:
+            mask = rel <= 0
+        if window is not None:
+            wl, wr = window
+            if wl is not None and wl >= 0:
+                m2 = rel >= -wl
+                mask = m2 if mask is None else (mask & m2)
+            if wr is not None and wr >= 0:
+                m2 = rel <= wr
+                mask = m2 if mask is None else (mask & m2)
+    else:
+        # varlen: positions are per-token within each segment, with the
+        # q positions pre-shifted by (len_k - len_q) per segment.
+        rel = kv_positions[..., None, :] - q_positions[..., :, None]
+        if causal:
+            mask = rel <= 0
+        if window is not None:
+            wl, wr = window
+            if wl is not None and wl >= 0:
+                m2 = rel >= -wl
+                mask = m2 if mask is None else (mask & m2)
+            if wr is not None and wr >= 0:
+                m2 = rel <= wr
+                mask = m2 if mask is None else (mask & m2)
     if q_segment_ids is not None:
         seg = q_segment_ids[..., :, None] == kv_segment_ids[..., None, :]
         mask = seg if mask is None else (mask & seg)
@@ -62,6 +86,7 @@ def reference_attention(
     kv_segment_ids=None,
     q_positions=None,
     kv_positions=None,
+    window=None,
     return_lse: bool = True,
 ):
     """Dense reference attention.
@@ -96,7 +121,8 @@ def reference_attention(
             if jax.default_backend() == "tpu" else None)
     s = jnp.einsum("bqhd,bkhd->bhqk", qf, kf, precision=prec) * scale
     mask = _build_mask(
-        sq, sk, causal, q_segment_ids, kv_segment_ids, q_positions, kv_positions
+        sq, sk, causal, q_segment_ids, kv_segment_ids, q_positions,
+        kv_positions, window,
     )
     if mask is not None:
         if mask.ndim == 2:

@@ -74,8 +74,25 @@ class Engine:
         trash_slot = self.rt.seq_alloc(1)
         assert trash_slot >= 0
         self.trash_page = self.rt.seq_page_table(trash_slot, 1)[0]
+        # Sliding-window serving (cfg.sliding_window = W): a token at
+        # position L-1 reads keys [L-W, L). The paged kernel skips compute
+        # blocks (KERNEL_PPB pages each) wholly behind the window, so pages
+        # in those blocks are freed as the window moves (decode) or never
+        # allocated at all (long-prompt admission) — per-sequence KV memory
+        # is O(W), not O(total length).
+        self.window = cfg.sliding_window
+        self._kernel_ppb = 8  # paged_attention's pages_per_block
+
+        def _live_from_page(tokens: int) -> int:
+            if self.window is None:
+                return 0
+            blk = self._kernel_ppb * page_size
+            return max(tokens - self.window, 0) // blk * self._kernel_ppb
+
+        self._live_from_page = _live_from_page
         self.sched = Scheduler(self.rt, max_batch=max_batch,
-                               reserve_pages=max_batch)
+                               reserve_pages=max_batch,
+                               live_from_page_fn=_live_from_page)
         # page table width: one batch row must span max_seq_len, padded to a
         # multiple of the kernel's pages_per_block (8)
         self.pages_per_seq = _round_up(_round_up(max_seq_len, page_size)
@@ -118,6 +135,12 @@ class Engine:
                 f"prompt+max_new_tokens = {total} exceeds max_seq_len "
                 f"{self.max_seq_len}")
         need = -(-total // self.page_size)
+        if self.window is not None:
+            # windowed sequences hold at most the window plus one kernel
+            # block of not-yet-reclaimed slack, regardless of total length
+            bound = (-(-self.window // self.page_size)
+                     + self._kernel_ppb + 1)
+            need = min(need, bound)
         budget = self.rt.total_pages - 1 - self.sched.reserve_pages  # -trash
         if need > budget:
             raise ValueError(
@@ -191,7 +214,10 @@ class Engine:
         dest, src_row, src_page = [], [], []
         for i, req in enumerate(reqs):
             n_pages = self.rt.seq_num_pages(req.slot)
-            for j, pid in enumerate(self.rt.seq_page_table(req.slot, n_pages)):
+            for j, pid in enumerate(self.rt.seq_page_table(req.slot, n_pages,
+                                                           pad=-1)):
+                if pid < 0:
+                    continue  # window hole: KV never read, no page to write
                 dest.append(pid)
                 src_row.append(i)
                 src_page.append(j)
@@ -228,6 +254,10 @@ class Engine:
         woff = np.zeros((bsz,), np.int32)
         for i, (r, t) in enumerate(zip(reqs, tokens)):
             ln = self.rt.seq_length(r.slot)  # already grown for this token
+            if self.window is not None:
+                # reclaim pages the window moved past (whole kernel blocks
+                # only — the kernel DMAs pages_per_block pages per live block)
+                self.rt.seq_release_prefix(r.slot, self._live_from_page(ln))
             if ln > self.pages_per_seq * self.page_size:
                 # seq_page_table() truncates silently past pages_per_seq and
                 # the kernel's page lookup clamps in-row — a mis-sized table

@@ -38,10 +38,16 @@ def _load_native():
     for name, args in [
         ("fat_free_pages", [ctypes.c_void_p]),
         ("fat_seq_alloc", [ctypes.c_void_p, ctypes.c_int32]),
+        ("fat_seq_alloc_windowed",
+         [ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]),
+        ("fat_seq_release_prefix",
+         [ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]),
         ("fat_seq_append", [ctypes.c_void_p, ctypes.c_int32]),
         ("fat_seq_length", [ctypes.c_void_p, ctypes.c_int32]),
         ("fat_seq_num_pages", [ctypes.c_void_p, ctypes.c_int32]),
         ("fat_can_admit", [ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]),
+        ("fat_can_admit_windowed",
+         [ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]),
     ]:
         fn = getattr(lib, name)
         fn.restype = ctypes.c_int32
@@ -74,17 +80,37 @@ class _PyRuntime:
     def free_pages(self) -> int:
         return len(self.free_list)
 
-    def seq_alloc(self, prompt_tokens: int) -> int:
+    def seq_alloc(self, prompt_tokens: int, live_from_page: int = 0) -> int:
         if not self.free_slots:
             return -1
-        need = self._pages_for(prompt_tokens)
+        total = self._pages_for(prompt_tokens)
+        live_from = max(0, min(live_from_page, total))
+        need = total - live_from
         if need > len(self.free_list):
             return -1
         slot = self.free_slots.pop()
-        self.pages[slot] = [self.free_list.pop() for _ in range(need)]
+        # the first live_from positional entries are holes (-1): a sliding
+        # window guarantees their tokens' KV is never read, so no physical
+        # page backs them
+        self.pages[slot] = ([-1] * live_from
+                            + [self.free_list.pop() for _ in range(need)])
         self.length[slot] = prompt_tokens
         self.live[slot] = True
         return slot
+
+    def seq_release_prefix(self, slot: int, upto_page: int) -> int:
+        """Free the physical pages behind the first ``upto_page`` positional
+        entries (the sliding window moved past them); entries become holes so
+        the table stays positional. Idempotent. Returns pages freed."""
+        if self._bad_slot(slot):
+            return -1
+        freed = 0
+        for j in range(min(upto_page, len(self.pages[slot]))):
+            if self.pages[slot][j] >= 0:
+                self.free_list.append(self.pages[slot][j])
+                self.pages[slot][j] = -1
+                freed += 1
+        return freed
 
     def _bad_slot(self, slot: int) -> bool:
         # mirror csrc/paged_runtime.cpp::bad_slot so the two backends agree
@@ -106,7 +132,7 @@ class _PyRuntime:
     def seq_free(self, slot: int) -> None:
         if self._bad_slot(slot):
             return
-        self.free_list.extend(self.pages[slot])
+        self.free_list.extend(p for p in self.pages[slot] if p >= 0)
         self.pages[slot] = []
         self.length[slot] = 0
         self.live[slot] = False
@@ -121,13 +147,15 @@ class _PyRuntime:
     def seq_page_table(self, slot: int, out_len: int, pad: int) -> list[int]:
         if self._bad_slot(slot):
             return [pad] * out_len
-        p = self.pages[slot][:out_len]
+        p = [x if x >= 0 else pad for x in self.pages[slot][:out_len]]
         return p + [pad] * (out_len - len(p))
 
-    def can_admit(self, prompt_tokens: int, reserve_pages: int) -> bool:
+    def can_admit(self, prompt_tokens: int, reserve_pages: int,
+                  live_from_page: int = 0) -> bool:
         if not self.free_slots:
             return False
-        return self._pages_for(prompt_tokens) + reserve_pages <= len(self.free_list)
+        need = max(0, self._pages_for(prompt_tokens) - live_from_page)
+        return need + reserve_pages <= len(self.free_list)
 
 
 class PagedRuntime:
@@ -161,10 +189,16 @@ class PagedRuntime:
             return self._lib.fat_free_pages(self._h)
         return self._py.free_pages()
 
-    def seq_alloc(self, prompt_tokens: int) -> int:
+    def seq_alloc(self, prompt_tokens: int, live_from_page: int = 0) -> int:
         if self.is_native:
-            return self._lib.fat_seq_alloc(self._h, prompt_tokens)
-        return self._py.seq_alloc(prompt_tokens)
+            return self._lib.fat_seq_alloc_windowed(self._h, prompt_tokens,
+                                                    live_from_page)
+        return self._py.seq_alloc(prompt_tokens, live_from_page)
+
+    def seq_release_prefix(self, slot: int, upto_page: int) -> int:
+        if self.is_native:
+            return self._lib.fat_seq_release_prefix(self._h, slot, upto_page)
+        return self._py.seq_release_prefix(slot, upto_page)
 
     def seq_append(self, slot: int) -> int:
         if self.is_native:
@@ -194,8 +228,10 @@ class PagedRuntime:
             return list(buf)
         return self._py.seq_page_table(slot, out_len, pad)
 
-    def can_admit(self, prompt_tokens: int, reserve_pages: int = 0) -> bool:
+    def can_admit(self, prompt_tokens: int, reserve_pages: int = 0,
+                  live_from_page: int = 0) -> bool:
         if self.is_native:
-            return bool(self._lib.fat_can_admit(self._h, prompt_tokens,
-                                                reserve_pages))
-        return self._py.can_admit(prompt_tokens, reserve_pages)
+            return bool(self._lib.fat_can_admit_windowed(
+                self._h, prompt_tokens, live_from_page, reserve_pages))
+        return self._py.can_admit(prompt_tokens, reserve_pages,
+                                  live_from_page)

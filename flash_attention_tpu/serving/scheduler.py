@@ -55,10 +55,15 @@ class Request:
 
 class Scheduler:
     def __init__(self, runtime: PagedRuntime, max_batch: int,
-                 reserve_pages: int = 0):
+                 reserve_pages: int = 0, live_from_page_fn=None):
         self.rt = runtime
         self.max_batch = max_batch
         self.reserve_pages = reserve_pages
+        # Sliding-window serving: maps a context length to the first page the
+        # attention window can still read (engine supplies it from the model
+        # config + kernel block granularity). Pages before it are allocated
+        # as holes and never backed by memory. Default: everything is live.
+        self.live_from_page = live_from_page_fn or (lambda tokens: 0)
         self.waiting: deque[Request] = deque()
         self.running: list[Request] = []
 
@@ -77,9 +82,12 @@ class Scheduler:
         admitted = []
         while (self.waiting and len(self.running) < self.max_batch and
                self.rt.can_admit(self.waiting[0].context_len + 1,
-                                 self.reserve_pages)):
+                                 self.reserve_pages,
+                                 self.live_from_page(
+                                     self.waiting[0].context_len + 1))):
             req = self.waiting.popleft()
-            slot = self.rt.seq_alloc(req.context_len)
+            slot = self.rt.seq_alloc(req.context_len,
+                                     self.live_from_page(req.context_len))
             if slot < 0:
                 self.waiting.appendleft(req)
                 break

@@ -123,3 +123,61 @@ def test_paged_attention_zero_length_clamped():
     oref = paged_attention_reference(q, kp, vp,
                                      jnp.asarray([1, 64, 128], jnp.int32), pi)
     assert_metrics("paged[zero-len]", o[1:], oref[1:])
+
+
+@pytest.mark.parametrize("window,lengths", [
+    (1, [100, 37, 1]),          # only the decode token itself
+    (7, [100, 37, 1]),          # narrow window inside one page
+    (64, [128, 90, 1]),         # window == pages_per_block span
+    (100, [128, 128, 3]),       # window straddling a block boundary
+    (500, [128, 64, 1]),        # wider than every sequence -> dense
+])
+def test_paged_attention_window_parity(window, lengths):
+    q, kp, vp, pi = _setup(3, 8, 2, 128, 16, 8, 64)
+    lens = jnp.asarray(lengths, jnp.int32)
+    o = paged_attention(q, kp, vp, lens, pi, pages_per_block=2,
+                        window=window)
+    oref = paged_attention_reference(q, kp, vp, lens, pi, window=window)
+    assert_metrics(f"paged-window[{window},{lengths}]", o, oref)
+
+
+def test_paged_attention_window_quantized():
+    q, kp, vp, pi = _setup(3, 8, 2, 128, 128, 8, 64)
+    lens = jnp.asarray([900, 370, 1], jnp.int32)
+    kq, ks = quantize_kv_pages(kp)
+    vq, vs = quantize_kv_pages(vp)
+    o = paged_attention(q, kq, vq, lens, pi, k_scales=ks, v_scales=vs,
+                        pages_per_block=2, window=300)
+    oref = paged_attention_reference(q, kq, vq, lens, pi, k_scales=ks,
+                                     v_scales=vs, window=300)
+    assert_metrics("paged-window-int8", o, oref)
+
+
+def test_paged_attention_window_skips_dead_pages():
+    """Pages in compute blocks wholly behind the sliding window must never
+    influence the output — the engine frees them, so their content is
+    arbitrary (here: poisoned with NaN, which would propagate through any
+    read). This is the contract that makes window page reclamation safe."""
+    window = 64
+    q, kp, vp, pi = _setup(2, 4, 2, 128, 16, 8, 32)
+    lens = jnp.asarray([128, 70], jnp.int32)
+    o_clean = paged_attention(q, kp, vp, lens, pi, pages_per_block=2,
+                              window=window)
+    # poison every page of row 0's blocks behind the window: start =
+    # 128 - 64 = 64, block = 2 pages * 16 = 32 tokens -> blocks 0..1 dead
+    # (tokens 0..63) = positional pages 0..3
+    dead_pages = np.asarray(pi)[0, :4]
+    kp = kp.at[:, dead_pages].set(jnp.nan)
+    vp = vp.at[:, dead_pages].set(jnp.nan)
+    o_poisoned = paged_attention(q, kp, vp, lens, pi, pages_per_block=2,
+                                 window=window)
+    assert bool(jnp.all(jnp.isfinite(o_poisoned)))
+    np.testing.assert_array_equal(np.asarray(o_clean),
+                                  np.asarray(o_poisoned))
+
+
+def test_paged_attention_window_validation():
+    q, kp, vp, pi = _setup(2, 4, 2, 128, 16, 8, 32)
+    lens = jnp.asarray([10, 5], jnp.int32)
+    with pytest.raises(ValueError, match="window"):
+        paged_attention(q, kp, vp, lens, pi, window=0)

@@ -378,3 +378,83 @@ def test_engine_oversized_length_fails_loudly(params):
     eng.step()
     assert req.done and req.error is not None
     assert "page-table width" in req.error, req.error
+
+
+# ---------------------------------------------------------- sliding window
+WCFG = llama.LlamaConfig.tiny(sliding_window=40)
+
+
+@pytest.fixture(scope="module")
+def wparams():
+    return llama.init_params(jax.random.PRNGKey(0), WCFG, dtype=jnp.float32)
+
+
+def _greedy_windowed(params, prompt, n_new):
+    """Oracle: full-recompute greedy loop; prefill itself applies the
+    config's sliding window through the flash kernel, so agreement also
+    pins paged-decode window semantics to the training kernels'."""
+    toks = list(prompt)
+    for _ in range(n_new):
+        logits, _, _ = llama.prefill(params,
+                                     jnp.asarray(toks, jnp.int32)[None], WCFG)
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    return toks[len(prompt):]
+
+
+def test_engine_sliding_window_matches_oracle(wparams):
+    """Windowed continuous batching reproduces the full-recompute windowed
+    greedy loop token-for-token, across page and kernel-block boundaries."""
+    eng = Engine(WCFG, wparams, total_pages=64, page_size=16, max_batch=2,
+                 max_seq_len=512, kv_dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    prompts = [list(map(int, rng.integers(0, 255, size=n)))
+               for n in (300, 150)]
+    reqs = [eng.add_request(p, max_new_tokens=12) for p in prompts]
+    done = eng.run()
+    assert len(done) == 2 and all(r.error is None for r in done)
+    for req, prompt in zip(reqs, prompts):
+        assert req.output == _greedy_windowed(wparams, prompt, 12)
+
+
+def test_engine_window_bounds_kv_memory(wparams):
+    """A prompt whose unwindowed KV would overflow the page pool is served
+    fine with a sliding window: out-of-window pages are never allocated
+    (admission holes) and pages the window passes are freed mid-run."""
+    # pool: 24 pages x 16 tokens = 384 cache tokens; the request needs
+    # 440 + 8 tokens of context -> impossible without the window
+    eng = Engine(WCFG, wparams, total_pages=24, page_size=16, max_batch=1,
+                 max_seq_len=512, kv_dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    prompt = list(map(int, rng.integers(0, 255, size=440)))
+    req = eng.add_request(prompt, max_new_tokens=8)
+    min_free = eng.rt.total_pages
+    while eng.sched.has_work:
+        eng.step()
+        min_free = min(min_free, eng.rt.free_pages())
+    assert req.error is None and len(req.output) == 8
+    assert req.output == _greedy_windowed(wparams, prompt, 8)
+    # live pages never exceeded window + one kernel block of slack (+trash)
+    window_pages = -(-WCFG.sliding_window // 16)
+    assert eng.rt.total_pages - min_free <= window_pages + 8 + 1 + 1
+
+
+@pytest.mark.parametrize("native", [False, True])
+def test_allocator_windowed(native):
+    if native and not PagedRuntime(1, 1, 1).is_native:
+        pytest.skip("native runtime unavailable")
+    rt = PagedRuntime(32, 4, max_seqs=4, native=native)
+    slot = rt.seq_alloc(30, live_from_page=5)   # 8 pages, 5 holes
+    assert slot >= 0 and rt.free_pages() == 32 - 3
+    tbl = rt.seq_page_table(slot, 10, pad=-7)
+    assert tbl[:5] == [-7] * 5 and all(p >= 0 for p in tbl[5:8])
+    assert tbl[8:] == [-7] * 2
+    for _ in range(3):
+        assert rt.seq_append(slot) == 0          # 33 tokens -> 9th page
+    assert rt.seq_num_pages(slot) == 9
+    assert rt.seq_release_prefix(slot, 7) == 2
+    assert rt.seq_release_prefix(slot, 7) == 0   # idempotent
+    assert rt.free_pages() == 32 - 2
+    assert rt.can_admit(40, live_from_page=5)
+    assert not rt.can_admit(2000)
+    rt.seq_free(slot)
+    assert rt.free_pages() == 32                 # holes don't double-free

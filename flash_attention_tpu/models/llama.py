@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from flash_attention_tpu.ops.attention import flash_attention
+from flash_attention_tpu.ops.attention import fwd as _flash_fwd_api
 from flash_attention_tpu.ops.paged_attention import paged_attention
 from flash_attention_tpu.ops.quant import (QuantizedTensor, quantize_int4,
                                            quantize_int8, quantized_matmul)
@@ -48,8 +49,31 @@ class LlamaConfig:
     # last `sliding_window` positions, itself included. None = full causal.
     # Prefill runs the flash kernel with window_size=(W-1, 0); decode runs
     # the paged kernel with window=W, and the engine frees KV pages the
-    # window has moved past (bounded O(W) cache per sequence).
+    # window has moved past (bounded O(W) cache per sequence — ONLY when
+    # window_pattern == 1; any global layer needs the whole cache).
     sliding_window: int | None = None
+    # Which layers slide (Gemma-2 alternates local/global): layer i uses the
+    # window iff i % window_pattern == 0. 1 = every layer (Mistral); 2 =
+    # even layers sliding, odd global (Gemma-2). n_layers must divide evenly.
+    window_pattern: int = 1
+    # Gemma-2-style extras (all default to the Llama behavior):
+    attn_softcap: float | None = None    # logit softcap inside attention
+    final_softcap: float | None = None   # softcap on the lm_head logits
+    act: str = "silu"                    # MLP gate activation: silu | gelu
+    post_norms: bool = False             # sandwich norms (post-attn/post-mlp)
+    query_scale: float | None = None     # sm_scale = query_scale**-0.5
+    # (Gemma-2's query_pre_attn_scalar); None = 1/sqrt(head_dim)
+    embed_scale: bool = False            # multiply embeddings by sqrt(dim)
+
+    @property
+    def sm_scale(self) -> float | None:
+        return None if self.query_scale is None else self.query_scale**-0.5
+
+    def layer_window(self, j: int) -> int | None:
+        """Sliding window of layer ``j`` (None = global attention)."""
+        if self.sliding_window is None or j % self.window_pattern:
+            return None
+        return self.sliding_window
 
     @classmethod
     def llama2_7b(cls):
@@ -63,10 +87,31 @@ class LlamaConfig:
                    rope_theta=10000.0, sliding_window=4096)
 
     @classmethod
+    def gemma2_9b(cls):
+        """Gemma-2-9B geometry: alternating 4096-window/global layers, GeGLU,
+        sandwich norms, attention softcap 50 and final-logit softcap 30."""
+        return cls(vocab_size=256000, dim=3584, n_layers=42, n_heads=16,
+                   n_kv_heads=8, head_dim=256, hidden_dim=14336,
+                   rope_theta=10000.0, sliding_window=4096, window_pattern=2,
+                   attn_softcap=50.0, final_softcap=30.0, act="gelu",
+                   post_norms=True, query_scale=256.0, embed_scale=True)
+
+    @classmethod
     def tiny(cls, **kw):
         """Small config for tests/CI."""
         d = dict(vocab_size=256, dim=256, n_layers=2, n_heads=4,
                  n_kv_heads=2, head_dim=128, hidden_dim=512)
+        d.update(kw)
+        return cls(**d)
+
+    @classmethod
+    def tiny_gemma2(cls, **kw):
+        """Small Gemma-2-style config (all the architecture deltas on)."""
+        d = dict(vocab_size=256, dim=256, n_layers=2, n_heads=4,
+                 n_kv_heads=2, head_dim=128, hidden_dim=512,
+                 sliding_window=64, window_pattern=2, attn_softcap=50.0,
+                 final_softcap=30.0, act="gelu", post_norms=True,
+                 query_scale=128.0, embed_scale=True)
         d.update(kw)
         return cls(**d)
 
@@ -81,7 +126,7 @@ def init_params(rng, cfg: LlamaConfig, dtype=jnp.bfloat16):
         scale = scale if scale is not None else (shape[-2] ** -0.5)
         return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
 
-    return {
+    params = {
         "embed": w(keys[0], cfg.vocab_size, D, scale=0.02),
         "wq": w(keys[1], L, D, H * hd),
         "wk": w(keys[2], L, D, HK * hd),
@@ -95,6 +140,10 @@ def init_params(rng, cfg: LlamaConfig, dtype=jnp.bfloat16):
         "norm_out": jnp.ones((D,), dtype),
         "lm_head": w(keys[8], D, cfg.vocab_size),
     }
+    if cfg.post_norms:  # Gemma-2 sandwich norms
+        params["norm_post_attn"] = jnp.ones((L, D), dtype)
+        params["norm_post_mlp"] = jnp.ones((L, D), dtype)
+    return params
 
 
 def quantize_params(params, bits: int = 8):
@@ -149,10 +198,33 @@ def _maybe_psum(x, axis):
     return jax.lax.psum(x, axis) if axis is not None else x
 
 
+def _act(x, kind: str):
+    """MLP gate activation in fp32 (silu = Llama/Mistral, gelu = Gemma-2)."""
+    x32 = x.astype(jnp.float32)
+    return jax.nn.gelu(x32, approximate=True) if kind == "gelu" \
+        else jax.nn.silu(x32)
+
+
 def _layer_weights(params):
     names = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
              "norm_attn", "norm_mlp")
+    if "norm_post_attn" in params:
+        names += ("norm_post_attn", "norm_post_mlp")
     return tuple(params[n] for n in names)
+
+
+def _group_layers(tree, period: int):
+    """Reshape stacked (L, ...) layer leaves to (L/period, period, ...).
+
+    Heterogeneous layer stacks (Gemma-2 alternates sliding-window and global
+    attention, and the window is a STATIC kernel arg) can't scan one layer at
+    a time; instead scan over groups of ``period`` layers, python-unrolling
+    the group body so each sub-layer keeps its own static window. Compile
+    time stays O(period), not O(n_layers)."""
+    if period == 1:
+        return tree
+    return jax.tree.map(
+        lambda a: a.reshape(a.shape[0] // period, period, *a.shape[1:]), tree)
 
 
 @functools.partial(jax.jit,
@@ -173,10 +245,16 @@ def prefill(params, tokens, cfg: LlamaConfig, tp_axis: str | None = None,
     """
     b, s = tokens.shape
     x = params["embed"][tokens]  # (b, s, D)
+    if cfg.embed_scale:  # Gemma normalizer
+        x = (x.astype(jnp.float32) * cfg.dim**0.5).astype(x.dtype)
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+    post = cfg.post_norms
 
-    def layer(x, w):
-        (wq, wk, wv, wo, wg, wu, wd, na, nm) = w
+    def one_layer(x, w, window):
+        if post:
+            (wq, wk, wv, wo, wg, wu, wd, na, nm, npa, npm) = w
+        else:
+            (wq, wk, wv, wo, wg, wu, wd, na, nm) = w
         h = _rmsnorm(x, na, cfg.norm_eps)
         q = _mm(h, wq).reshape(b, s, cfg.n_heads, cfg.head_dim)
         k = _mm(h, wk).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
@@ -188,19 +266,182 @@ def prefill(params, tokens, cfg: LlamaConfig, tp_axis: str | None = None,
                 tq, sc = _quantize_token(t, kv_fake_quant)
                 return (tq.astype(jnp.float32) * sc[..., None]).astype(t.dtype)
             k, v = fq(k), fq(v)
-        win = (None if cfg.sliding_window is None
-               else (cfg.sliding_window - 1, 0))
-        o = flash_attention(q, k, v, causal=True, window_size=win)
-        x = x + _maybe_psum(_mm(o.reshape(b, s, -1), wo), tp_axis)
+        win = None if window is None else (window - 1, 0)
+        o = flash_attention(q, k, v, causal=True, window_size=win,
+                            softcap=cfg.attn_softcap, sm_scale=cfg.sm_scale)
+        attn = _maybe_psum(_mm(o.reshape(b, s, -1), wo), tp_axis)
+        if post:  # sandwich norm AFTER the TP psum (norm is nonlinear)
+            attn = _rmsnorm(attn, npa, cfg.norm_eps)
+        x = x + attn
         h = _rmsnorm(x, nm, cfg.norm_eps)
-        mlp = _mm(jax.nn.silu(_mm(h, wg).astype(jnp.float32)).astype(x.dtype)
+        mlp = _mm(_act(_mm(h, wg), cfg.act).astype(x.dtype)
                   * _mm(h, wu), wd)
-        x = x + _maybe_psum(mlp, tp_axis)
+        mlp = _maybe_psum(mlp, tp_axis)
+        if post:
+            mlp = _rmsnorm(mlp, npm, cfg.norm_eps)
+        x = x + mlp
         return x, (k, v)
 
-    x, (ks, vs) = jax.lax.scan(layer, x, _layer_weights(params))
+    # Alternating window/global layers (window_pattern > 1) scan over GROUPS
+    # of layers so each sub-layer's window stays a static kernel arg.
+    period = cfg.window_pattern if cfg.sliding_window is not None else 1
+    if cfg.n_layers % period:
+        raise ValueError(f"n_layers {cfg.n_layers} not divisible by "
+                         f"window_pattern {period}")
+
+    def layer_group(x, wg):
+        kvs = []
+        for j in range(period):
+            w = jax.tree.map(lambda a: a[j], wg) if period > 1 else wg
+            x, kv = one_layer(x, w, cfg.layer_window(j))
+            kvs.append(kv)
+        if period == 1:
+            return x, kvs[0]
+        return x, (jnp.stack([kv[0] for kv in kvs]),
+                   jnp.stack([kv[1] for kv in kvs]))
+
+    x, (ks, vs) = jax.lax.scan(
+        layer_group, x, _group_layers(_layer_weights(params), period))
+    if period > 1:  # (L/period, period, ...) -> (L, ...)
+        ks = ks.reshape(cfg.n_layers, *ks.shape[2:])
+        vs = vs.reshape(cfg.n_layers, *vs.shape[2:])
     x = _rmsnorm(x, params["norm_out"], cfg.norm_eps)
     logits = _mm(x, params["lm_head"]).astype(jnp.float32)
+    if cfg.final_softcap is not None:
+        logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
+    return logits, ks, vs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tp_axis"))
+def prefill_chunk(params, tokens, done, chunk_len, k_pages, v_pages,
+                  k_scales, v_scales, prefix_tables, cfg: LlamaConfig,
+                  tp_axis: str | None = None):
+    """One chunk of a chunked prefill (bounded time-to-first-token).
+
+    Processes ``tokens`` (b, c) — the next ``chunk_len[i]`` prompt tokens of
+    row i, whose first ``done[i]`` tokens already live in the paged cache —
+    attending to [prefix pages || chunk] through the segmented flash path
+    with explicit global positions (q at ``done + arange(c)``; dead rows /
+    pad tails masked via segment ids). The prefix K/V pages are gathered
+    page-granularly (lowers to DMA copies) and, for a quantized cache,
+    dequantized with their per-token scales.
+
+    prefix_tables (b, npp): physical pages holding tokens [0, npp*ps); rows
+    with fewer live prefix tokens pad with any valid page id (masked off by
+    ``done``). Returns (logits (b, c, vocab) f32, ks, vs (L, b, c, hk, hd))
+    — the chunk K/V for ``write_prefill_to_pages`` to scatter afterwards.
+
+    Equivalent to ``prefill`` restricted to columns [done, done+c) — exact,
+    not approximate: chunk-vs-full logits parity is gated in
+    tests/test_chunked_prefill.py for both model families.
+    """
+    b, c = tokens.shape
+    quantized = k_scales is not None
+    ps = k_pages.shape[-2]
+    npp = prefix_tables.shape[1]
+    pref = npp * ps
+    x = params["embed"][tokens]
+    if cfg.embed_scale:
+        x = (x.astype(jnp.float32) * cfg.dim**0.5).astype(x.dtype)
+    positions = done[:, None] + jnp.arange(c, dtype=jnp.int32)[None, :]
+    post = cfg.post_norms
+
+    # segment/position metadata for the segmented flash path:
+    # kv = [prefix tokens 0..pref) || chunk tokens done..done+c)
+    kv_pos_prefix = jnp.broadcast_to(jnp.arange(pref, dtype=jnp.int32),
+                                     (b, pref))
+    kv_seg_prefix = jnp.where(kv_pos_prefix < done[:, None], 0, -1)
+    chunk_idx = jnp.arange(c, dtype=jnp.int32)[None, :]
+    kv_seg_chunk = jnp.where(chunk_idx < chunk_len[:, None], 0, -1)
+    kv_seg = jnp.concatenate([kv_seg_prefix, kv_seg_chunk], axis=1)
+    kv_pos = jnp.concatenate([kv_pos_prefix, positions], axis=1)
+    q_seg = jnp.where(chunk_idx < chunk_len[:, None], 0, -2)
+    segs = (q_seg, kv_seg, positions, kv_pos)
+
+    def one_layer(x, w, kp, vp, kps, vps, window):
+        if post:
+            (wq, wk, wv, wo, wg, wu, wd, na, nm, npa, npm) = w
+        else:
+            (wq, wk, wv, wo, wg, wu, wd, na, nm) = w
+        h = _rmsnorm(x, na, cfg.norm_eps)
+        q = _mm(h, wq).reshape(b, c, cfg.n_heads, cfg.head_dim)
+        k = _mm(h, wk).reshape(b, c, cfg.n_kv_heads, cfg.head_dim)
+        v = _mm(h, wv).reshape(b, c, cfg.n_kv_heads, cfg.head_dim)
+        q = _rope(q, positions, cfg.rope_theta)
+        k = _rope(k, positions, cfg.rope_theta)
+
+        # gather the prefix K/V pages densely: (hk, b, npp, ps, d) ->
+        # (b, npp*ps, hk, d); page-granular so it lowers to DMA copies
+        def gather(pages, scales):
+            g = pages[:, prefix_tables]  # (hk, b, npp, ps, d)
+            g = g.transpose(1, 2, 3, 0, 4).reshape(
+                b, pref, cfg.n_kv_heads, cfg.head_dim)
+            if quantized:  # scale for token t of a page = lane t of its tile
+                sc = scales[:, prefix_tables][:, :, :, 0, :ps]  # (hk,b,npp,ps)
+                sc = sc.transpose(1, 2, 3, 0).reshape(b, pref,
+                                                      cfg.n_kv_heads)
+                g = (g.astype(jnp.float32) * sc[..., None]).astype(x.dtype)
+            else:
+                g = g.astype(x.dtype)
+            return g
+
+        kcat = jnp.concatenate([gather(kp, kps), k], axis=1)
+        vcat = jnp.concatenate([gather(vp, vps), v], axis=1)
+        win = None if window is None else (window - 1, 0)
+        o, _ = _flash_fwd_api(q, kcat, vcat, is_causal=True, segs=segs,
+                              window_size=win, softcap=cfg.attn_softcap,
+                              sm_scale=cfg.sm_scale)
+        attn = _maybe_psum(_mm(o.reshape(b, c, -1), wo), tp_axis)
+        if post:
+            attn = _rmsnorm(attn, npa, cfg.norm_eps)
+        x = x + attn
+        h = _rmsnorm(x, nm, cfg.norm_eps)
+        mlp = _mm(_act(_mm(h, wg), cfg.act).astype(x.dtype) * _mm(h, wu), wd)
+        mlp = _maybe_psum(mlp, tp_axis)
+        if post:
+            mlp = _rmsnorm(mlp, npm, cfg.norm_eps)
+        x = x + mlp
+        return x, (k, v)
+
+    period = cfg.window_pattern if cfg.sliding_window is not None else 1
+    if cfg.n_layers % period:
+        raise ValueError(f"n_layers {cfg.n_layers} not divisible by "
+                         f"window_pattern {period}")
+
+    def layer_group(x, wc):
+        if quantized:
+            wg_, kpg, vpg, kpsg, vpsg = wc
+        else:
+            wg_, kpg, vpg = wc
+            kpsg = vpsg = None
+        kvs = []
+        for j in range(period):
+            pick = ((lambda t: jax.tree.map(lambda a: a[j], t))
+                    if period > 1 else (lambda t: t))
+            x, kv = one_layer(x, pick(wg_), pick(kpg), pick(vpg),
+                              pick(kpsg) if quantized else None,
+                              pick(vpsg) if quantized else None,
+                              cfg.layer_window(j))
+            kvs.append(kv)
+        if period == 1:
+            return x, kvs[0]
+        return x, (jnp.stack([kv[0] for kv in kvs]),
+                   jnp.stack([kv[1] for kv in kvs]))
+
+    if quantized:
+        xs = tuple(_group_layers(t, period) for t in (
+            _layer_weights(params), k_pages, v_pages, k_scales, v_scales))
+    else:
+        xs = tuple(_group_layers(t, period) for t in (
+            _layer_weights(params), k_pages, v_pages))
+    x, (ks, vs) = jax.lax.scan(layer_group, x, xs)
+    if period > 1:
+        ks = ks.reshape(cfg.n_layers, *ks.shape[2:])
+        vs = vs.reshape(cfg.n_layers, *vs.shape[2:])
+    x = _rmsnorm(x, params["norm_out"], cfg.norm_eps)
+    logits = _mm(x, params["lm_head"]).astype(jnp.float32)
+    if cfg.final_softcap is not None:
+        logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
     return logits, ks, vs
 
 
@@ -275,14 +516,16 @@ def decode_step(
     b = tokens.shape[0]
     quantized = k_scales is not None
     x = params["embed"][tokens]  # (b, D)
+    if cfg.embed_scale:  # Gemma normalizer
+        x = (x.astype(jnp.float32) * cfg.dim**0.5).astype(x.dtype)
     pos = (lengths - 1).astype(jnp.int32)  # 0-based position of this token
+    post = cfg.post_norms
 
-    def layer(x, w_and_cache):
-        if quantized:
-            (wq, wk, wv, wo, wg, wu, wd, na, nm), kp, vp, kps, vps = w_and_cache
+    def one_layer(x, w, kp, vp, kps, vps, window):
+        if post:
+            (wq, wk, wv, wo, wg, wu, wd, na, nm, npa, npm) = w
         else:
-            (wq, wk, wv, wo, wg, wu, wd, na, nm), kp, vp = w_and_cache
-            kps = vps = None
+            (wq, wk, wv, wo, wg, wu, wd, na, nm) = w
         h = _rmsnorm(x, na, cfg.norm_eps)
         q = _mm(h, wq).reshape(b, 1, cfg.n_heads, cfg.head_dim)
         k = _mm(h, wk).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
@@ -301,24 +544,70 @@ def decode_step(
         vp = _scatter_token_kv(vp, write_page, write_off, v)
         o = paged_attention(q.reshape(b, -1, cfg.head_dim), kp, vp,
                             lengths, page_tables, k_scales=kps, v_scales=vps,
-                            window=cfg.sliding_window)
-        x = x + _maybe_psum(_mm(o.reshape(b, -1), wo), tp_axis)
+                            window=window, softcap=cfg.attn_softcap,
+                            sm_scale=cfg.sm_scale)
+        attn = _maybe_psum(_mm(o.reshape(b, -1), wo), tp_axis)
+        if post:
+            attn = _rmsnorm(attn, npa, cfg.norm_eps)
+        x = x + attn
         h = _rmsnorm(x, nm, cfg.norm_eps)
-        mlp = _mm(jax.nn.silu(_mm(h, wg).astype(jnp.float32)).astype(x.dtype)
+        mlp = _mm(_act(_mm(h, wg), cfg.act).astype(x.dtype)
                   * _mm(h, wu), wd)
-        x = x + _maybe_psum(mlp, tp_axis)
+        mlp = _maybe_psum(mlp, tp_axis)
+        if post:
+            mlp = _rmsnorm(mlp, npm, cfg.norm_eps)
+        x = x + mlp
+        return x, kp, vp, kps, vps
+
+    period = cfg.window_pattern if cfg.sliding_window is not None else 1
+    if cfg.n_layers % period:
+        raise ValueError(f"n_layers {cfg.n_layers} not divisible by "
+                         f"window_pattern {period}")
+
+    def layer_group(x, w_and_cache):
+        if quantized:
+            wg, kpg, vpg, kpsg, vpsg = w_and_cache
+        else:
+            wg, kpg, vpg = w_and_cache
+            kpsg = vpsg = None
+        outs = []
+        for j in range(period):
+            pick = ((lambda t: jax.tree.map(lambda a: a[j], t))
+                    if period > 1 else (lambda t: t))
+            x, kp, vp, kps, vps = one_layer(
+                x, pick(wg), pick(kpg), pick(vpg),
+                pick(kpsg) if quantized else None,
+                pick(vpsg) if quantized else None,
+                cfg.layer_window(j))
+            outs.append((kp, vp, kps, vps))
+        if period == 1:
+            kp, vp, kps, vps = outs[0]
+        else:
+            kp, vp, kps, vps = (
+                None if outs[0][i] is None
+                else jnp.stack([o[i] for o in outs]) for i in range(4))
         if quantized:
             return x, (kp, vp, kps, vps)
         return x, (kp, vp)
 
     if quantized:
-        xs = (_layer_weights(params), k_pages, v_pages, k_scales, v_scales)
-        x, (k_pages, v_pages, k_scales, v_scales) = jax.lax.scan(layer, x, xs)
+        xs = tuple(_group_layers(t, period) for t in (
+            _layer_weights(params), k_pages, v_pages, k_scales, v_scales))
+        x, (k_pages, v_pages, k_scales, v_scales) = jax.lax.scan(
+            layer_group, x, xs)
     else:
-        x, (k_pages, v_pages) = jax.lax.scan(
-            layer, x, (_layer_weights(params), k_pages, v_pages))
+        xs = tuple(_group_layers(t, period) for t in (
+            _layer_weights(params), k_pages, v_pages))
+        x, (k_pages, v_pages) = jax.lax.scan(layer_group, x, xs)
+    if period > 1:
+        unflat = lambda a: (None if a is None
+                            else a.reshape(cfg.n_layers, *a.shape[2:]))
+        k_pages, v_pages = unflat(k_pages), unflat(v_pages)
+        k_scales, v_scales = unflat(k_scales), unflat(v_scales)
     x = _rmsnorm(x, params["norm_out"], cfg.norm_eps)
     logits = _mm(x, params["lm_head"]).astype(jnp.float32)
+    if cfg.final_softcap is not None:
+        logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
     return logits, k_pages, v_pages, k_scales, v_scales
 
 

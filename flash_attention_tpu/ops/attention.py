@@ -99,7 +99,7 @@ def _float0_like(x):
 
 
 def _fwd_padded(q, k, v, segs, *, causal, sm_scale, block_sizes, interpret,
-                window=None, empty_lse=0.0):
+                window=None, softcap=None, empty_lse=0.0):
     """q (b,sq,h,d); k/v (b,sk,hk,d); segs None or (q_seg, kv_seg, q_pos, kv_pos)."""
     b, sq, h, d = q.shape
     _, sk, hk, _ = k.shape
@@ -135,8 +135,8 @@ def _fwd_padded(q, k, v, segs, *, causal, sm_scale, block_sizes, interpret,
     o, lse = _fwd_mod.flash_fwd(
         qp, kp, vp, *seg_args,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
-        seqlen_q=sq, seqlen_k=sk, window=window, interpret=interpret,
-        empty_lse=empty_lse,
+        seqlen_q=sq, seqlen_k=sk, window=window, softcap=softcap,
+        interpret=interpret, empty_lse=empty_lse,
     )
     o = jnp.swapaxes(o[:, :, :sq, :d], 1, 2).astype(q.dtype)  # (b, sq, h, d)
     lse = lse[:, :, :sq]  # (b, h, sq)
@@ -153,6 +153,7 @@ def flash_attention(
     block_sizes: BlockSizes | None = None,
     interpret: bool | None = None,
     window_size: tuple | None = None,
+    softcap: float | None = None,
     return_lse: bool = False,
 ):
     """Differentiable flash attention.
@@ -168,6 +169,8 @@ def flash_attention(
         (off = seqlen_k - seqlen_q); entries < 0 mean unbounded (the upstream
         flash-attention convention). Composes with causal (right -> 0) and
         with segment_ids (window over within-segment positions).
+      softcap: optional logit soft-capping (Gemma-2 style): scaled scores are
+        squashed to ``softcap * tanh(s / softcap)`` before masking/softmax.
       return_lse: additionally return LSE (batch, num_heads, seqlen_q) fp32.
 
     Returns:
@@ -180,42 +183,43 @@ def flash_attention(
     if window_size is not None:
         window_size = tuple(window_size)  # hashable static arg
     o, lse = _flash_attention_custom(
-        q, k, v, segs, causal, sm_scale, block_sizes, interpret, window_size
+        q, k, v, segs, causal, sm_scale, block_sizes, interpret, window_size,
+        softcap,
     )
     if return_lse:
         return o, lse
     return o
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def _flash_attention_custom(q, k, v, segs, causal, sm_scale, block_sizes,
-                            interpret, window):
+                            interpret, window, softcap):
     o, lse = _fwd_padded(
         q, k, v, segs,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
-        interpret=interpret, window=window,
+        interpret=interpret, window=window, softcap=softcap,
     )
     return o, lse
 
 
 def _flash_attention_fwd(q, k, v, segs, causal, sm_scale, block_sizes,
-                         interpret, window):
+                         interpret, window, softcap):
     o, lse = _fwd_padded(
         q, k, v, segs,
         causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
-        interpret=interpret, window=window,
+        interpret=interpret, window=window, softcap=softcap,
     )
     return (o, lse), (q, k, v, segs, o, lse)
 
 
 def _flash_attention_bwd(causal, sm_scale, block_sizes, interpret, window,
-                         res, cts):
+                         softcap, res, cts):
     q, k, v, segs, o, lse = res
     do, _ = cts  # cotangent of lse unsupported (matches reference bwd API)
     dq, dk, dv = bwd(
         q, k, v, o, lse, do,
         is_causal=causal, sm_scale=sm_scale, block_sizes=block_sizes,
-        interpret=interpret, segs=segs, window_size=window,
+        interpret=interpret, segs=segs, window_size=window, softcap=softcap,
     )
     dsegs = None
     if segs is not None:
@@ -257,6 +261,7 @@ def fwd(
     interpret: bool | None = None,
     segs=None,
     window_size: tuple | None = None,
+    softcap: float | None = None,
     empty_lse: float = 0.0,
 ):
     """Forward pass: (o, lse). Parity with reference ``fwd`` (flash_api.cpp:156).
@@ -269,7 +274,7 @@ def fwd(
     o, lse = _fwd_padded(
         q, k, v, segs,
         causal=is_causal, sm_scale=sm_scale, block_sizes=block_sizes,
-        interpret=interpret, empty_lse=empty_lse,
+        interpret=interpret, empty_lse=empty_lse, softcap=softcap,
         window=None if window_size is None else tuple(window_size),
     )
     return o, lse
@@ -282,6 +287,7 @@ def bwd(
     interpret: bool | None = None,
     segs=None,
     window_size: tuple | None = None,
+    softcap: float | None = None,
     parts: str = "all",
 ):
     """Backward pass: (dq, dk, dv). Parity with reference ``bwd``
@@ -329,6 +335,7 @@ def bwd(
         qp, kp, vp, op, lsep, dop, *seg_args,
         causal=is_causal, sm_scale=sm_scale, block_sizes=block_sizes,
         seqlen_q=sq, seqlen_k=sk, interpret=interpret, parts=parts,
+        softcap=softcap,
         window=None if window_size is None else tuple(window_size),
     )
     if parts == "di":
@@ -386,6 +393,7 @@ def varlen_fwd(
     block_sizes: BlockSizes | None = None,
     interpret: bool | None = None,
     window_size: tuple | None = None,
+    softcap: float | None = None,
 ):
     """Packed variable-length forward. Parity with reference ``varlen_fwd``
     (flash_api.cpp:319-381).
@@ -403,7 +411,7 @@ def varlen_fwd(
     o, lse = _fwd_padded(
         q[None], k[None], v[None], segs4,
         causal=is_causal, sm_scale=sm_scale, block_sizes=block_sizes,
-        interpret=interpret,
+        interpret=interpret, softcap=softcap,
         window=None if window_size is None else tuple(window_size),
     )
     return o[0], lse[0]
@@ -417,6 +425,7 @@ def varlen_bwd(
     block_sizes: BlockSizes | None = None,
     interpret: bool | None = None,
     window_size: tuple | None = None,
+    softcap: float | None = None,
 ):
     """Packed variable-length backward. Parity with reference ``varlen_bwd``
     (flash_api.cpp:383-468). lse is the packed (h, total_q) form returned by
@@ -428,5 +437,6 @@ def varlen_bwd(
         q[None], k[None], v[None], o[None], lse[None], do[None],
         is_causal=is_causal, sm_scale=sm_scale, block_sizes=block_sizes,
         interpret=interpret, segs=segs4, window_size=window_size,
+        softcap=softcap,
     )
     return dq[0], dk[0], dv[0]

@@ -158,6 +158,7 @@ def _dq_kernel(
     seqlen_k: int,
     block_q: int,
     block_kv: int,
+    softcap: float | None,
 ):
     if segmented:
         (lo_ref, hi_ref,  # scalar-prefetch (b, nq): live kv-block range
@@ -209,6 +210,10 @@ def _dq_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=_precision(q.dtype),
         ) * sm_scale
+        if softcap is not None:
+            # recompute the fwd capping; keep tanh for the chain-rule factor
+            t = jnp.tanh(s * (1.0 / softcap))
+            s = softcap * t
         need_pos = segmented and (causal or band is not None)
         s = _mask_scores(
             s, qi, ki, block_q, block_kv,
@@ -225,6 +230,10 @@ def _dq_kernel(
             precision=_precision(do.dtype),
         )
         ds = p * (dp - di)
+        if softcap is not None:
+            # d(cap·tanh(x/cap))/dx = 1 - tanh²; masked lanes have p = 0 so
+            # their (garbage-t) product is still exactly 0
+            ds = ds * (1.0 - t * t)
         acc_scr[...] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_precision(k.dtype),
@@ -245,6 +254,7 @@ def _dkv_kernel(
     seqlen_k: int,
     block_q: int,
     block_kv: int,
+    softcap: float | None,
 ):
     if segmented:
         (qlo_ref, qhi_ref,  # scalar-prefetch (b, nk): live q-block range
@@ -299,6 +309,9 @@ def _dkv_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=_precision(q.dtype),
         ) * sm_scale
+        if softcap is not None:
+            t = jnp.tanh(s * (1.0 / softcap))
+            s = softcap * t
         need_pos = segmented and (causal or band is not None)
         s = _mask_scores(
             s, qi, ki, block_q, block_kv,
@@ -316,6 +329,8 @@ def _dkv_kernel(
             precision=_precision(do.dtype),
         )
         ds = p * (dp - di)
+        if softcap is not None:
+            ds = ds * (1.0 - t * t)  # tanh chain rule (see _dq_kernel)
         # dV += Pᵀ·dO ; dK += dSᵀ·Q  (transposes via dot dimension numbers —
         # the analogue of the reference's transposed smem views,
         # kernel_traits.h:165-204)
@@ -338,7 +353,7 @@ def _dkv_kernel(
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "block_sizes", "seqlen_q", "seqlen_k",
-        "window", "interpret", "debug", "parts",
+        "window", "softcap", "interpret", "debug", "parts",
     ),
 )
 def flash_bwd(
@@ -360,6 +375,7 @@ def flash_bwd(
     seqlen_k: int,
     window: tuple | None = None,  # sliding window (left, right); < 0 entries
     # mean unbounded (see flash_fwd.normalize_band)
+    softcap: float | None = None,  # logit soft-capping; must match the fwd
     interpret: bool = False,
     debug: bool = False,
     parts: str = "all",
@@ -423,7 +439,7 @@ def flash_bwd(
     band = normalize_band(False if segmented else causal, window)
     common = dict(
         sm_scale=sm_scale, causal=causal, band=band, segmented=segmented,
-        seqlen_q=seqlen_q, seqlen_k=seqlen_k,
+        seqlen_q=seqlen_q, seqlen_k=seqlen_k, softcap=softcap,
     )
 
     # f32 operands double every block's footprint AND the in-kernel

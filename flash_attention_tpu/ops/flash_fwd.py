@@ -80,6 +80,7 @@ def _fwd_kernel(
     block_h: int,
     group: int,
     empty_lse: float,
+    softcap: float | None,
     force_branch: str | None,
 ):
     if segmented:
@@ -114,6 +115,12 @@ def _fwd_kernel(
             precision=_precision(q.dtype),
         )  # (block_q, inner)
         s *= sm_scale
+        if softcap is not None:
+            # logit soft-capping (Gemma-2): squash the scaled score into
+            # (-softcap, softcap) BEFORE masking, so MASK_VALUE still
+            # dominates every capped live score. VPU-only; zero cost when
+            # softcap is None (python-level specialization).
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
 
         # ---- masking ----
         # ``masked`` selects the branch: interior blocks skip the
@@ -292,7 +299,8 @@ def _fwd_kernel(
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "block_sizes", "seqlen_q", "seqlen_k",
-        "window", "interpret", "debug", "empty_lse", "force_branch",
+        "window", "softcap", "interpret", "debug", "empty_lse",
+        "force_branch",
     ),
 )
 def flash_fwd(
@@ -312,6 +320,8 @@ def flash_fwd(
     window: tuple | None = None,  # sliding window (left, right): query row i
     # (lower-right aligned) sees key cols in [i+off-left, i+off+right];
     # entries < 0 mean unbounded. Composes with causal (right clamps to 0).
+    softcap: float | None = None,  # logit soft-capping (Gemma-2):
+    # s -> softcap * tanh(s / softcap) after sm_scale, before masking
     interpret: bool = False,
     debug: bool = False,
     empty_lse: float = 0.0,  # lse sentinel for fully-masked rows
@@ -473,6 +483,7 @@ def flash_fwd(
         block_h=block_h,
         group=group,
         empty_lse=empty_lse,
+        softcap=softcap,
         force_branch=force_branch,
     )
 

@@ -98,6 +98,7 @@ def _paged_attn_kernel(
     sm_scale: float,
     quantized: bool,
     window: int | None,
+    softcap: float | None,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -208,6 +209,11 @@ def _paged_attn_kernel(
             # as a row-broadcast multiply on the score tile
             ks = k_scale_buf[slot][:, 0, :].reshape(bk).astype(jnp.float32)
             s = s * ks[None, :]
+        if softcap is not None:
+            # logit soft-capping (Gemma-2), applied to the FULL logit — i.e.
+            # after the fused per-token k-scales — and before masking, so
+            # MASK_VALUE still dominates the capped (-softcap, softcap) range
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
 
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         live = i * bk + col < length
@@ -246,7 +252,8 @@ def _paged_attn_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "pages_per_block", "window", "interpret"),
+    static_argnames=("sm_scale", "pages_per_block", "window", "softcap",
+                     "interpret"),
 )
 def paged_attention(
     q,              # (b, num_q_heads, head_dim)
@@ -260,9 +267,14 @@ def paged_attention(
     sm_scale: float | None = None,
     pages_per_block: int = 8,
     window: int | None = None,
+    softcap: float | None = None,
     interpret: bool | None = None,
 ):
     """Single-token decode attention against a paged KV cache.
+
+    ``softcap``: optional logit soft-capping — scaled scores squash to
+    ``softcap * tanh(s / softcap)`` before masking (the decode half of the
+    training kernels' ``softcap``; Gemma-2 models).
 
     ``window``: sliding-window decode — the query (position length-1) sees
     only the last ``window`` tokens, itself included (key positions in
@@ -331,6 +343,7 @@ def paged_attention(
         sm_scale=sm_scale,
         quantized=quantized,
         window=window,
+        softcap=softcap,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -383,7 +396,7 @@ def paged_attention(
 
 def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices,
                               *, k_scales=None, v_scales=None,
-                              sm_scale=None, window=None):
+                              sm_scale=None, window=None, softcap=None):
     """Plain-JAX oracle: gather pages densely and run masked attention."""
     b, h, d = q.shape
     hk, _, page_size, _ = k_pages.shape
@@ -401,6 +414,8 @@ def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices,
     v = v_pages[:, page_indices].transpose(1, 0, 2, 3, 4).reshape(b, hk, -1, d)
     qg = q.reshape(b, hk, group, d).astype(jnp.float32)
     s = jnp.einsum("bhgd,bhtd->bhgt", qg, k.astype(jnp.float32)) * sm_scale
+    if softcap is not None:
+        s = softcap * jnp.tanh(s / softcap)
     t = s.shape[-1]
     mask = jnp.arange(t)[None, :] < lengths[:, None]  # (b, t)
     if window is not None:

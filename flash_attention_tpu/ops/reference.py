@@ -87,6 +87,7 @@ def reference_attention(
     q_positions=None,
     kv_positions=None,
     window=None,
+    softcap: float | None = None,
     return_lse: bool = True,
 ):
     """Dense reference attention.
@@ -101,6 +102,8 @@ def reference_attention(
         tokens only attend within their segment.
       q_positions / kv_positions: optional int32 (batch, seqlen) positions used
         for causal masking in segment mode.
+      softcap: optional logit soft-capping (Gemma-2 style): the scaled score
+        is squashed to ``softcap * tanh(s / softcap)`` before masking.
 
     Returns:
       (o, lse): o (b, sq, h, d) in q.dtype; lse (b, h, sq) float32.
@@ -120,6 +123,8 @@ def reference_attention(
     prec = (jax.lax.Precision.HIGHEST
             if jax.default_backend() == "tpu" else None)
     s = jnp.einsum("bqhd,bkhd->bhqk", qf, kf, precision=prec) * scale
+    if softcap is not None:
+        s = softcap * jnp.tanh(s / softcap)
     mask = _build_mask(
         sq, sk, causal, q_segment_ids, kv_segment_ids, q_positions,
         kv_positions, window,

@@ -50,6 +50,11 @@ def param_specs() -> dict:
         "w_down": P(None, "model", None),
         "norm_attn": P(),
         "norm_mlp": P(),
+        # Gemma-2 sandwich norms apply AFTER each layer's psum, so they are
+        # replicated like the pre-norms (absent from Llama param trees;
+        # tree_specs only looks up keys that exist)
+        "norm_post_attn": P(),
+        "norm_post_mlp": P(),
         "norm_out": P(),
         "lm_head": P(),
     }
@@ -107,6 +112,34 @@ def tp_decode_step(params, k_pages, v_pages, tokens, lengths, page_tables,
         check_vma=False,
     )(params, k_pages, v_pages, k_scales, v_scales, tokens, lengths,
       page_tables, write_page, write_off)
+
+
+def tp_prefill_chunk(params, tokens, done, chunk_len, k_pages, v_pages,
+                     k_scales, v_scales, prefix_tables, *,
+                     cfg: llama.LlamaConfig, mesh: Mesh, axis: str = "model"):
+    """Tensor-parallel chunked prefill (one chunk). The prefix page gather
+    and the chunk attention are kv-head-local (zero communication) like
+    ``tp_decode_step``; returns (logits replicated, ks, vs kv-head-sharded)."""
+    tp = mesh.shape[axis]
+    cfg_local = local_config(cfg, tp)
+    pspecs = tree_specs(params)
+    cache_spec = P(None, axis, None, None, None)
+    scale_spec = cache_spec if k_scales is not None else None
+    kv_spec = P(None, None, None, axis, None)
+    rep = P()
+
+    def step(params, tokens, done, chunk_len, kp, vp, kps, vps, tables):
+        return llama.prefill_chunk(params, tokens, done, chunk_len, kp, vp,
+                                   kps, vps, tables, cfg_local, tp_axis=axis)
+
+    return jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(pspecs, rep, rep, rep, cache_spec, cache_spec, scale_spec,
+                  scale_spec, rep),
+        out_specs=(rep, kv_spec, kv_spec),
+        check_vma=False,
+    )(params, tokens, done, chunk_len, k_pages, v_pages, k_scales, v_scales,
+      prefix_tables)
 
 
 def tp_prefill(params, tokens, *, cfg: llama.LlamaConfig, mesh: Mesh,

@@ -49,6 +49,7 @@ class Engine:
         native_allocator: bool | None = None,
         mesh=None,
         tp_axis: str = "model",
+        chunk_size: int | None = None,
     ):
         self.cfg = cfg
         self.params = params
@@ -68,6 +69,16 @@ class Engine:
                 params, specs)
         self.page_size = page_size
         self.max_seq_len = max_seq_len
+        # Chunked prefill: prompts longer than chunk_size prefill in fixed
+        # chunk_size pieces (each a single compile shape), bounding
+        # time-to-first-dispatch on long prompts so decode steps of already-
+        # running sequences interleave instead of stalling behind one huge
+        # prompt. None = whole-prompt prefill.
+        if chunk_size is not None and chunk_size % page_size:
+            raise ValueError(
+                f"chunk_size {chunk_size} must be a multiple of page_size "
+                f"{page_size} (chunks scatter whole pages)")
+        self.chunk_size = chunk_size
         # +1 slot/page budget for the trash page dummy rows write into
         self.rt = PagedRuntime(total_pages, page_size, max_seqs=max_batch + 1,
                                native=native_allocator)
@@ -79,8 +90,13 @@ class Engine:
         # blocks (KERNEL_PPB pages each) wholly behind the window, so pages
         # in those blocks are freed as the window moves (decode) or never
         # allocated at all (long-prompt admission) — per-sequence KV memory
-        # is O(W), not O(total length).
-        self.window = cfg.sliding_window
+        # is O(W), not O(total length). Page reclamation is ONLY sound when
+        # EVERY layer slides (window_pattern == 1): with alternating
+        # window/global layers (Gemma-2) the global layers read the whole
+        # cache, so no page ever becomes dead — keep all pages live and let
+        # the windowed layers mask in-kernel via cfg.layer_window.
+        self.window = (cfg.sliding_window
+                       if getattr(cfg, "window_pattern", 1) == 1 else None)
         self._kernel_ppb = 8  # paged_attention's pages_per_block
 
         def _live_from_page(tokens: int) -> int:
@@ -90,9 +106,22 @@ class Engine:
             return max(tokens - self.window, 0) // blk * self._kernel_ppb
 
         self._live_from_page = _live_from_page
+        if chunk_size is None:
+            sched_live = _live_from_page
+        else:
+            # Chunked prefill reads mid-prompt prefix keys back out of the
+            # PAGES (the whole-prompt path never does), so admission may only
+            # hole-allocate pages dead to the SECOND chunk's first query
+            # (position chunk_size) — not to the final prompt position, which
+            # would punch holes inside an intermediate chunk's window and
+            # silently gather trash-page garbage. _prefill_chunked releases
+            # the rest progressively as the chunk frontier advances, so
+            # steady-state live pages stay O(window + chunk_size).
+            sched_live = lambda tokens: _live_from_page(
+                min(tokens, chunk_size + 1))
         self.sched = Scheduler(self.rt, max_batch=max_batch,
                                reserve_pages=max_batch,
-                               live_from_page_fn=_live_from_page)
+                               live_from_page_fn=sched_live)
         # page table width: one batch row must span max_seq_len, padded to a
         # multiple of the kernel's pages_per_block (8)
         self.pages_per_seq = _round_up(_round_up(max_seq_len, page_size)
@@ -135,9 +164,13 @@ class Engine:
                 f"prompt+max_new_tokens = {total} exceeds max_seq_len "
                 f"{self.max_seq_len}")
         need = -(-total // self.page_size)
-        if self.window is not None:
+        if self.window is not None and self.chunk_size is None:
             # windowed sequences hold at most the window plus one kernel
-            # block of not-yet-reclaimed slack, regardless of total length
+            # block of not-yet-reclaimed slack, regardless of total length.
+            # NOT with chunked prefill: mid-prompt chunks read prefix KV back
+            # out of the pages, so admission keeps the whole prompt live
+            # (released progressively as the chunk frontier advances) — the
+            # admissibility bound is the full-prompt page count.
             bound = (-(-self.window // self.page_size)
                      + self._kernel_ppb + 1)
             need = min(need, bound)
@@ -195,6 +228,8 @@ class Engine:
         t0 = time.perf_counter()
         seqs = [r.prompt + r.output for r in reqs]
         n_max = max(len(s) for s in seqs)
+        if self.chunk_size is not None and n_max > self.chunk_size:
+            return self._prefill_chunked(reqs, seqs, t0)
         bucket = max(32, 1 << (n_max - 1).bit_length())
         bsz = max(1, 1 << (len(reqs) - 1).bit_length())
         toks = np.zeros((bsz, bucket), np.int32)
@@ -237,6 +272,108 @@ class Engine:
         last = jnp.asarray([len(s) - 1 for s in seqs], jnp.int32)
         rows = logits[jnp.arange(len(reqs)), last]
         for req, tok in zip(reqs, self._sample_batch(reqs, rows)):
+            req.output.append(tok)
+        self.stats["prefill_dispatches"] += 1
+        self.stats["prefill_time"] += time.perf_counter() - t0
+
+    def _prefill_chunked(self, reqs: list[Request], seqs, t0) -> None:
+        """Prefill ``reqs`` in fixed chunk_size pieces (chunked prefill).
+
+        Each chunk is ONE ``llama.prefill_chunk`` dispatch at a static
+        (batch, chunk_size) shape: chunk queries attend [prefix pages ||
+        chunk] via the segmented flash path, then the chunk's K/V scatter
+        into pages through the same batched ``write_prefill_to_pages`` the
+        whole-prompt path uses. Peak activation memory and per-dispatch
+        latency are O(chunk_size), not O(prompt) — the engine can interleave
+        decode steps between chunks of a long prompt. The prefix-table width
+        rounds up to a power of two so compile count stays logarithmic in
+        prompt length.
+        """
+        cs = self.chunk_size
+        ps = self.page_size
+        n = len(reqs)
+        bsz = max(1, 1 << (n - 1).bit_length())
+        lens = np.zeros((bsz,), np.int32)
+        for i, s in enumerate(seqs):
+            lens[i] = len(s)
+        n_chunks = -(-int(lens.max()) // cs)
+        toks = np.zeros((bsz, n_chunks * cs), np.int32)
+        for i, s in enumerate(seqs):
+            toks[i, : len(s)] = s
+        final_rows = None  # (bsz, vocab) f32 — each row's last-token logits
+        for step in range(n_chunks):
+            base = step * cs
+            done = np.minimum(lens, base).astype(np.int32)
+            clen = np.clip(lens - base, 0, cs).astype(np.int32)
+            if self.window is not None and base:
+                # the chunk frontier IS the oldest remaining query: release
+                # prefix pages behind ITS window (admission only holed pages
+                # dead to the first frontier; see __init__). Decode later
+                # continues the same release schedule per generated token.
+                for i, r in enumerate(reqs):
+                    self.rt.seq_release_prefix(
+                        r.slot,
+                        self._live_from_page(min(int(lens[i]), base) + 1))
+            # prefix pages cover [0, base); width rounds up to pow2 (trash-
+            # padded, masked off by `done`) to bound the compile count
+            npp_min = max(1, -(-base // ps))
+            npp = 1 << (npp_min - 1).bit_length()
+            tables = np.full((bsz, npp), self.trash_page, np.int32)
+            for i, r in enumerate(reqs):
+                row = self.rt.seq_page_table(r.slot, npp, pad=-1)
+                tables[i] = np.where(np.asarray(row) < 0, self.trash_page,
+                                     row)
+            chunk_toks = jnp.asarray(toks[:, base:base + cs])
+            args = (chunk_toks, jnp.asarray(done), jnp.asarray(clen),
+                    self.k_pages, self.v_pages, self.k_scales, self.v_scales,
+                    jnp.asarray(tables))
+            if self.mesh is not None:
+                from flash_attention_tpu.parallel.tp_inference import \
+                    tp_prefill_chunk
+                logits, ks, vs = tp_prefill_chunk(
+                    self.params, *args, cfg=self.cfg, mesh=self.mesh,
+                    axis=self.tp_axis)
+            else:
+                logits, ks, vs = llama.prefill_chunk(self.params, *args,
+                                                     self.cfg)
+            # scatter this chunk's whole pages (chunk_size % page_size == 0,
+            # so chunk-local page j holds tokens [base + j*ps, ...))
+            dest, src_row, src_page = [], [], []
+            for i, r in enumerate(reqs):
+                p0 = base // ps
+                for j in range(-(-int(clen[i]) // ps)):
+                    pid = self.rt.seq_page_table(r.slot, p0 + j + 1,
+                                                 pad=-1)[p0 + j]
+                    if pid < 0:
+                        continue  # window hole: KV never read
+                    dest.append(pid)
+                    src_row.append(i)
+                    src_page.append(j)
+            if dest:
+                n_pad = 1 << (len(dest) - 1).bit_length()
+                dest += [self.trash_page] * (n_pad - len(dest))
+                src_row += [0] * (n_pad - len(src_row))
+                src_page += [0] * (n_pad - len(src_page))
+                (self.k_pages, self.v_pages, self.k_scales, self.v_scales) = \
+                    llama.write_prefill_to_pages(
+                        self.k_pages, self.v_pages, (ks, vs),
+                        jnp.asarray(dest, jnp.int32),
+                        jnp.asarray(src_row, jnp.int32),
+                        jnp.asarray(src_page, jnp.int32), ps,
+                        k_scales=self.k_scales, v_scales=self.v_scales)
+            # rows whose last context token falls in this chunk contribute
+            # their next-token logits (kept on device until the final sample)
+            last = lens - 1
+            mask = jnp.asarray((last >= base) & (last < base + clen))
+            rows = logits[jnp.arange(bsz),
+                          jnp.asarray(np.clip(last - base, 0, cs - 1))]
+            final_rows = (rows if final_rows is None
+                          else jnp.where(mask[:, None], rows, final_rows))
+            self.stats["prefill_chunks"] = \
+                self.stats.get("prefill_chunks", 0) + 1
+        for i in range(n):
+            self.stats["prefill_tokens"] += int(lens[i])
+        for req, tok in zip(reqs, self._sample_batch(reqs, final_rows)):
             req.output.append(tok)
         self.stats["prefill_dispatches"] += 1
         self.stats["prefill_time"] += time.perf_counter() - t0

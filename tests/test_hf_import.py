@@ -59,3 +59,82 @@ def test_greedy_generation_matches_hf(hf_model):
     req = eng.add_request([int(t) for t in prompt[0]], max_new_tokens=6)
     eng.run()
     assert req.output == hf_new, (req.output, hf_new)
+
+
+@pytest.fixture(scope="module")
+def hf_mistral():
+    # sliding_window=16 < prompt length so the window mask is live in HF too
+    cfg = transformers.MistralConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        max_position_embeddings=512, rms_norm_eps=1e-5, rope_theta=10000.0,
+        sliding_window=16, tie_word_embeddings=False,
+    )
+    torch.manual_seed(1)
+    model = transformers.MistralForCausalLM(cfg)
+    model.eval()
+    return model
+
+
+def test_mistral_sliding_window_logits_match_hf(hf_mistral):
+    params, cfg = from_hf(hf_mistral, dtype=jnp.float32)
+    assert cfg.sliding_window == 16 and cfg.window_pattern == 1
+    rng = np.random.default_rng(2)
+    toks = rng.integers(0, 128, size=(2, 33))
+    with torch.no_grad():
+        hf_logits = hf_mistral(torch.from_numpy(toks)).logits.numpy()
+    logits, _, _ = llama.prefill(params, jnp.asarray(toks, jnp.int32), cfg)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits,
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.fixture(scope="module")
+def hf_gemma2():
+    # all the Gemma-2 deltas on: alternating sliding/global layers,
+    # (1+w) norms, sandwich norms, GeGLU-tanh, both softcaps,
+    # query_pre_attn_scalar, sqrt(dim) embed scaling, tied embeddings
+    cfg = transformers.Gemma2Config(
+        vocab_size=128, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=128, max_position_embeddings=512, rms_norm_eps=1e-6,
+        rope_theta=10000.0, sliding_window=16, query_pre_attn_scalar=128,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        attn_implementation="eager",  # sdpa silently drops the attn softcap
+    )
+    torch.manual_seed(2)
+    model = transformers.Gemma2ForCausalLM(cfg)
+    model.eval()
+    return model
+
+
+def test_gemma2_logits_match_hf(hf_gemma2):
+    params, cfg = from_hf(hf_gemma2, dtype=jnp.float32)
+    assert (cfg.window_pattern == 2 and cfg.attn_softcap == 50.0
+            and cfg.final_softcap == 30.0 and cfg.post_norms
+            and cfg.embed_scale and cfg.sm_scale == 128 ** -0.5)
+    assert "norm_post_attn" in params
+    rng = np.random.default_rng(3)
+    toks = rng.integers(0, 128, size=(2, 33))  # 33 > window 16
+    with torch.no_grad():
+        hf_logits = hf_gemma2(torch.from_numpy(toks)).logits.numpy()
+    logits, _, _ = llama.prefill(params, jnp.asarray(toks, jnp.int32), cfg)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits,
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_gemma2_greedy_generation_matches_hf(hf_gemma2):
+    params, cfg = from_hf(hf_gemma2, dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    prompt = rng.integers(0, 128, size=(1, 21))
+    with torch.no_grad():
+        hf_out = hf_gemma2.generate(
+            torch.from_numpy(prompt), max_new_tokens=5, do_sample=False,
+            pad_token_id=0)
+    hf_new = hf_out[0, 21:].tolist()
+
+    from flash_attention_tpu.serving.engine import Engine
+    eng = Engine(cfg, params, total_pages=16, page_size=16, max_batch=2,
+                 max_seq_len=128, kv_dtype=jnp.float32)
+    req = eng.add_request([int(t) for t in prompt[0]], max_new_tokens=5)
+    eng.run()
+    assert req.output == hf_new, (req.output, hf_new)

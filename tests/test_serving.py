@@ -458,3 +458,31 @@ def test_allocator_windowed(native):
     assert not rt.can_admit(2000)
     rt.seq_free(slot)
     assert rt.free_pages() == 32                 # holes don't double-free
+
+
+# ----------------------------------------------------------- Gemma-2 style
+GCFG = llama.LlamaConfig.tiny_gemma2(n_layers=2, sliding_window=40)
+
+
+def test_engine_gemma2_generation_parity():
+    """End-to-end serving of a Gemma-2-style model (alternating window/global
+    layers, softcaps, GeGLU, sandwich norms): engine decode must match a
+    dense full-recompute greedy loop, and — because the odd layers are
+    GLOBAL — the engine must NOT reclaim or hole-allocate any pages."""
+    gparams = llama.init_params(jax.random.PRNGKey(0), GCFG, jnp.float32)
+    eng = Engine(GCFG, gparams, total_pages=32, page_size=16, max_batch=2,
+                 max_seq_len=256, kv_dtype=jnp.float32)
+    assert eng.window is None  # window_pattern=2 -> no page reclamation
+    rng = np.random.default_rng(7)
+    prompt = list(map(int, rng.integers(0, 255, size=70)))
+    req = eng.add_request(prompt, max_new_tokens=6)
+    while eng.sched.has_work:
+        eng.step()
+    assert req.error is None and len(req.output) == 6
+
+    toks = list(prompt)
+    for _ in range(6):
+        logits, _, _ = llama.prefill(gparams,
+                                     jnp.asarray(toks, jnp.int32)[None], GCFG)
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    assert req.output == toks[len(prompt):]

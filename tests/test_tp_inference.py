@@ -67,3 +67,51 @@ def test_tp_decode_matches_single(params):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(kp2), np.asarray(kp1),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_tp_gemma2_engine_parity():
+    """Gemma-2-style model (post norms, softcaps, alternating window, GeGLU)
+    served tensor-parallel must match the single-device dense greedy loop —
+    pins tree_specs' replicated post-norm entries and the grouped-scan TP
+    interaction."""
+    from flash_attention_tpu.serving.engine import Engine
+
+    cfg = llama.LlamaConfig.tiny_gemma2(n_layers=2, sliding_window=40)
+    gparams = llama.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    eng = Engine(cfg, gparams, total_pages=32, page_size=16, max_batch=2,
+                 max_seq_len=256, kv_dtype=jnp.float32, mesh=_mesh(2))
+    rng = np.random.default_rng(7)
+    prompt = list(map(int, rng.integers(0, 255, size=70)))
+    req = eng.add_request(prompt, max_new_tokens=4)
+    while eng.sched.has_work:
+        eng.step()
+    assert req.error is None, req.error
+
+    toks = list(prompt)
+    for _ in range(4):
+        logits, _, _ = llama.prefill(gparams,
+                                     jnp.asarray(toks, jnp.int32)[None], cfg)
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    assert req.output == toks[len(prompt):]
+
+
+def test_tp_chunked_prefill_engine_parity(params):
+    """Chunked prefill through shard_map (tp_prefill_chunk: kv-head-local
+    prefix page gather, replicated chunk logits) must emit the same tokens
+    as the single-device unchunked engine."""
+    from flash_attention_tpu.serving.engine import Engine
+
+    rng = np.random.default_rng(9)
+    prompt = list(map(int, rng.integers(0, 255, size=150)))
+    outs = []
+    for mesh, chunk in ((None, None), (_mesh(2), 64)):
+        eng = Engine(CFG, params, total_pages=32, page_size=16, max_batch=2,
+                     max_seq_len=256, kv_dtype=jnp.float32, mesh=mesh,
+                     chunk_size=chunk)
+        req = eng.add_request(prompt, max_new_tokens=4)
+        while eng.sched.has_work:
+            eng.step()
+        assert req.error is None, req.error
+        outs.append(req.output)
+    assert outs[0] == outs[1]
+    assert eng.stats["prefill_chunks"] >= 3

@@ -141,6 +141,28 @@ int32_t fat_seq_append(void* h, int32_t slot) {
   return 0;
 }
 
+// Shrink a sequence to `new_length` tokens, freeing whole tail pages past
+// the new boundary (speculative decoding reserves the maximum-acceptance
+// length up front and returns the unused tail here). Growing is rejected.
+// Returns pages freed, or -1 on a bad slot / length.
+int32_t fat_seq_truncate(void* h, int32_t slot, int32_t new_length) {
+  auto* rt = static_cast<Runtime*>(h);
+  if (bad_slot(rt, slot)) return -1;
+  Sequence& s = rt->seqs[slot];
+  if (new_length < 0 || new_length > s.length) return -1;
+  int32_t keep = pages_for(rt, new_length);
+  int32_t freed = 0;
+  while (static_cast<int32_t>(s.pages.size()) > keep) {
+    if (s.pages.back() >= 0) {
+      rt->free_list.push_back(s.pages.back());
+      ++freed;
+    }
+    s.pages.pop_back();
+  }
+  s.length = new_length;
+  return freed;
+}
+
 // Release a sequence's pages and slot.
 void fat_seq_free(void* h, int32_t slot) {
   auto* rt = static_cast<Runtime*>(h);

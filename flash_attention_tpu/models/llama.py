@@ -513,6 +513,19 @@ def decode_step(
 
     Returns (logits (b, vocab) f32, k_pages, v_pages, k_scales, v_scales).
     """
+    return _decode_core(params, k_pages, v_pages, k_scales, v_scales,
+                        tokens, lengths, page_tables, write_page, write_off,
+                        cfg, tp_axis)
+
+
+def _decode_core(
+    params, k_pages, v_pages, k_scales, v_scales, tokens, lengths,
+    page_tables, write_page, write_off, cfg: LlamaConfig,
+    tp_axis: str | None = None,
+):
+    """Unjitted decode-step body, shared between ``decode_step`` (one jitted
+    token) and ``draft_rollout`` (a ``lax.scan`` of draft-model tokens inside
+    a single dispatch — speculative decoding)."""
     b = tokens.shape[0]
     quantized = k_scales is not None
     x = params["embed"][tokens]  # (b, D)
@@ -609,6 +622,48 @@ def decode_step(
     if cfg.final_softcap is not None:
         logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
     return logits, k_pages, v_pages, k_scales, v_scales
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 6, 7))
+def write_chunk_to_pages(k_pages, v_pages, layer_kv, done, chunk_len,
+                         tables, k_scales=None, v_scales=None):
+    """Token-granular scatter of a chunk dispatch's K/V into pages.
+
+    The page-granular ``write_prefill_to_pages`` needs chunk boundaries on
+    page boundaries; speculative verification commits at TOKEN granularity
+    (the chunk starts at the committed frontier ``done``, anywhere in a
+    page). Chunk index j (a static Python unroll — chunks are a handful of
+    tokens) lands at global position ``done + j`` via the same
+    page-tile gather/modify/scatter as the decode write path
+    (``_scatter_token_kv`` — sub-tile row scatters are the measured-37ms
+    trap). Rows where j spills past ``chunk_len`` or past the row's
+    allocation write garbage into the row's OWN not-yet-committed slots or
+    the trash page — both are rewritten before any read grows over them.
+
+    layer_kv: (ks, vs) each (L, b, c, hk, hd) from ``prefill_chunk``.
+    done/chunk_len (b,) int32; tables (b, npp) int32 padded with the trash
+    page. Returns (k_pages, v_pages, k_scales, v_scales).
+    """
+    ks, vs = layer_kv
+    c = ks.shape[2]
+    ps = k_pages.shape[-2]
+    npp = tables.shape[1]
+    kv_write = jax.vmap(_scatter_token_kv, in_axes=(0, None, None, 0))
+    sc_write = jax.vmap(_scatter_token_scale, in_axes=(0, None, None, 0))
+    for j in range(c):
+        pos = done + j
+        wpage = jnp.take_along_axis(
+            tables, jnp.clip(pos // ps, 0, npp - 1)[:, None], axis=1)[:, 0]
+        woff = pos % ps
+        kj, vj = ks[:, :, j], vs[:, :, j]      # (L, b, hk, hd)
+        if k_scales is not None:
+            kj, ksc = _quantize_token(kj, k_pages.dtype)   # ksc (L, b, hk)
+            vj, vsc = _quantize_token(vj, v_pages.dtype)
+            k_scales = sc_write(k_scales, wpage, woff, ksc)
+            v_scales = sc_write(v_scales, wpage, woff, vsc)
+        k_pages = kv_write(k_pages, wpage, woff, kj)
+        v_pages = kv_write(v_pages, wpage, woff, vj)
+    return k_pages, v_pages, k_scales, v_scales
 
 
 @functools.partial(jax.jit, static_argnames=("page_size",),

@@ -50,6 +50,9 @@ class Engine:
         mesh=None,
         tp_axis: str = "model",
         chunk_size: int | None = None,
+        draft_cfg: llama.LlamaConfig | None = None,
+        draft_params=None,
+        n_draft: int = 4,
     ):
         self.cfg = cfg
         self.params = params
@@ -148,10 +151,59 @@ class Engine:
             self.k_scales = jnp.ones((L, hk, total_pages, 8, 128),
                                      jnp.float32)
             self.v_scales = jnp.ones_like(self.k_scales)
+        # Speculative decoding (beyond-reference; the serving layer's
+        # latency lever): a small draft model proposes n_draft tokens per
+        # step in ONE lax.scan dispatch (serving.spec.draft_rollout), the
+        # target model verifies all of them in ONE prefill_chunk dispatch,
+        # and rejection sampling (sampling.spec_accept) keeps the longest
+        # exact prefix plus one corrected/bonus token. Emitted tokens are
+        # distributed EXACTLY as sequential target samples; a step commits
+        # between 1 and n_draft+1 tokens. The draft model keeps its own page
+        # arrays but shares the allocator's page ids/tables with the target
+        # cache, so one allocator drives both.
+        if (draft_cfg is None) != (draft_params is None):
+            raise ValueError("draft_cfg and draft_params come together")
+        self.spec = draft_cfg is not None
+        self.draft_cfg = draft_cfg
+        self.draft_params = draft_params
+        self.n_draft = n_draft
+        self.k_pages_d = self.v_pages_d = None
+        self.k_scales_d = self.v_scales_d = None
+        if self.spec:
+            if n_draft < 1:
+                raise ValueError("n_draft must be >= 1")
+            if mesh is not None:
+                raise ValueError("speculative decoding with tensor "
+                                 "parallelism is not supported yet")
+            if chunk_size is not None:
+                raise ValueError("speculative decoding with chunked prefill "
+                                 "is not supported yet")
+            if self.window is not None:
+                # window_pattern == 1 reclaims pages behind the window; the
+                # verification chunk's prefix gather and the truncate-on-
+                # reject bookkeeping both assume a hole-free prefix.
+                # (Gemma-2-style window_pattern > 1 keeps all pages live and
+                # is fine.)
+                raise ValueError("speculative decoding with sliding-window "
+                                 "page reclamation is not supported yet")
+            if draft_cfg.vocab_size != cfg.vocab_size:
+                raise ValueError(
+                    f"draft vocab {draft_cfg.vocab_size} != target vocab "
+                    f"{cfg.vocab_size}")
+            Ld, hkd, hdd = (draft_cfg.n_layers, draft_cfg.n_kv_heads,
+                            draft_cfg.head_dim)
+            self.k_pages_d = jnp.zeros((Ld, hkd, total_pages, page_size, hdd),
+                                       kv_dtype)
+            self.v_pages_d = jnp.zeros_like(self.k_pages_d)
+            if kv_quant:
+                self.k_scales_d = jnp.ones((Ld, hkd, total_pages, 8, 128),
+                                           jnp.float32)
+                self.v_scales_d = jnp.ones_like(self.k_scales_d)
         self._uid = 0
         self.stats = {"decode_steps": 0, "decode_tokens": 0,
                       "prefill_tokens": 0, "prefill_dispatches": 0,
-                      "decode_time": 0.0, "prefill_time": 0.0}
+                      "decode_time": 0.0, "prefill_time": 0.0,
+                      "spec_steps": 0, "spec_proposed": 0, "spec_accepted": 0}
 
     # ------------------------------------------------------------- requests
     def add_request(self, prompt: list[int], max_new_tokens: int,
@@ -159,6 +211,16 @@ class Engine:
                     top_k: int = 0, top_p: float = 1.0,
                     seed: int = 0) -> Request:
         total = len(prompt) + max_new_tokens
+        if self.spec:
+            if top_k > 0 or top_p < 1.0:
+                # rejection sampling is only exact against the draft's
+                # UNfiltered proposal distribution; a filtered target would
+                # emit tokens the acceptance rule never corrects for
+                raise ValueError("speculative decoding does not support "
+                                 "top-k/top-p filtered requests")
+            # every spec step reserves n_draft cache slots past the committed
+            # frontier (returned by seq_truncate when rejected)
+            total += self.n_draft
         if total > self.max_seq_len:
             raise ValueError(
                 f"prompt+max_new_tokens = {total} exceeds max_seq_len "
@@ -261,17 +323,36 @@ class Engine:
         dest += [self.trash_page] * (n_pad - len(dest))
         src_row += [0] * (n_pad - len(src_row))
         src_page += [0] * (n_pad - len(src_page))
+        dest = jnp.asarray(dest, jnp.int32)
+        src_row = jnp.asarray(src_row, jnp.int32)
+        src_page = jnp.asarray(src_page, jnp.int32)
         (self.k_pages, self.v_pages, self.k_scales, self.v_scales) = \
             llama.write_prefill_to_pages(
                 self.k_pages, self.v_pages, (ks, vs),
-                jnp.asarray(dest, jnp.int32), jnp.asarray(src_row, jnp.int32),
-                jnp.asarray(src_page, jnp.int32), self.page_size,
+                dest, src_row, src_page, self.page_size,
                 k_scales=self.k_scales, v_scales=self.v_scales)
+        if self.spec:
+            # the draft model mirrors the target's context in its own page
+            # arrays (same page ids — the allocator is shared)
+            _, ks_d, vs_d = llama.prefill(self.draft_params, tokens,
+                                          self.draft_cfg)
+            (self.k_pages_d, self.v_pages_d, self.k_scales_d,
+             self.v_scales_d) = llama.write_prefill_to_pages(
+                self.k_pages_d, self.v_pages_d, (ks_d, vs_d),
+                dest, src_row, src_page, self.page_size,
+                k_scales=self.k_scales_d, v_scales=self.v_scales_d)
         # one on-device gather of each row's last-context logits + one
         # on-device sample for the whole admitted batch
         last = jnp.asarray([len(s) - 1 for s in seqs], jnp.int32)
         rows = logits[jnp.arange(len(reqs)), last]
         for req, tok in zip(reqs, self._sample_batch(reqs, rows)):
+            if self.spec and req.output:
+                # re-admitted after preemption: its kept output[-1] was
+                # emitted by a spec step and is already the next token to
+                # feed; prefill wrote its KV, so the next spec step resumes
+                # the EXACT uninterrupted completion (spec draws are keyed by
+                # (seed, output position) on their own sub-streams)
+                continue
             req.output.append(tok)
         self.stats["prefill_dispatches"] += 1
         self.stats["prefill_time"] += time.perf_counter() - t0
@@ -432,6 +513,101 @@ class Engine:
         self.stats["decode_time"] += time.perf_counter() - t0
         return out
 
+    def _spec_decode_batch(self, reqs: list[Request]) -> None:
+        """One speculative step: draft rollout -> target verify -> accept.
+
+        Three device dispatches + ONE host readback regardless of n_draft
+        (vs n_draft+1 decode dispatches each with its own readback): the
+        draft's n_draft autoregressive steps run inside one ``lax.scan``
+        (spec.draft_rollout), the target model scores the fed token plus all
+        n_draft proposals in one ``prefill_chunk``, and ``spec_accept`` keeps
+        the longest accepted prefix plus one resampled/bonus token. Appends
+        1..n_draft+1 tokens per request and shrinks its cache reservation to
+        the committed frontier (``seq_truncate``). Every request arrives with
+        ``seq_length == context_len + n_draft`` (the step() grow loop).
+        """
+        from flash_attention_tpu.serving import spec as spec_mod
+        t0 = time.perf_counter()
+        g = self.n_draft
+        ps = self.page_size
+        n = len(reqs)
+        bsz = max(1, 1 << (n - 1).bit_length())
+        tok = np.zeros((bsz,), np.int32)
+        lens = np.ones((bsz,), np.int32)  # committed length incl. fed token
+        tables = np.full((bsz, self.pages_per_seq), self.trash_page, np.int32)
+        temps = np.zeros((bsz,), np.float32)
+        seeds = np.zeros((bsz,), np.int32)
+        pos = np.zeros((bsz,), np.int32)
+        for i, r in enumerate(reqs):
+            c_len = r.context_len
+            if c_len + g > self.pages_per_seq * ps:
+                raise RuntimeError(
+                    f"request {r.uid}: context {c_len} + n_draft {g} exceeds "
+                    f"the page-table width {self.pages_per_seq} x page_size "
+                    f"{ps} — table would truncate and reads would silently "
+                    f"hit garbage")
+            tok[i] = r.output[-1]
+            lens[i] = c_len
+            tables[i] = self.rt.seq_page_table(r.slot, self.pages_per_seq,
+                                               pad=self.trash_page)
+            temps[i] = r.temperature
+            seeds[i] = r.seed
+            pos[i] = len(r.output)
+        tok, lens_j, tables_j = (jnp.asarray(tok), jnp.asarray(lens),
+                                 jnp.asarray(tables))
+        temps_j, seeds_j, pos_j = (jnp.asarray(temps), jnp.asarray(seeds),
+                                   jnp.asarray(pos))
+        # [1/3] draft proposal rollout (one dispatch, updates the draft cache)
+        (d_toks, d_logits, self.k_pages_d, self.v_pages_d, self.k_scales_d,
+         self.v_scales_d) = spec_mod.draft_rollout(
+            self.draft_params, self.k_pages_d, self.v_pages_d,
+            self.k_scales_d, self.v_scales_d, tok, lens_j, tables_j,
+            temps_j, seeds_j, pos_j, self.draft_cfg, g)
+        # [2/3] target verification: score [fed token || g proposals] in one
+        # chunk dispatch; prefix-table width rounds to pow2 (trash-padded) so
+        # compile count stays logarithmic in context length
+        chunk = jnp.concatenate([tok[:, None], d_toks], axis=1)
+        clen = jnp.full((bsz,), g + 1, jnp.int32)
+        npp_min = max(1, -(-int(lens.max() - 1) // ps)) if lens.max() > 1 \
+            else 1
+        npp = 1 << (npp_min - 1).bit_length()
+        ptab = np.full((bsz, npp), self.trash_page, np.int32)
+        w = min(npp, self.pages_per_seq)
+        ptab[:, :w] = tables[:, :w]
+        logits, ks, vs = llama.prefill_chunk(
+            self.params, chunk, lens_j - 1, clen, self.k_pages, self.v_pages,
+            self.k_scales, self.v_scales, jnp.asarray(ptab), self.cfg)
+        # commit the chunk K/V at token granularity (rejected-tail writes
+        # land in the row's own reserved-not-committed slots, rewritten
+        # before any read grows over them)
+        (self.k_pages, self.v_pages, self.k_scales, self.v_scales) = \
+            llama.write_chunk_to_pages(
+                self.k_pages, self.v_pages, (ks, vs), lens_j - 1, clen,
+                tables_j, self.k_scales, self.v_scales)
+        # [3/3] rejection-sampling acceptance; the ONE host readback
+        out, n_emit = sampling.spec_accept(logits, d_logits, d_toks, temps_j,
+                                           seeds_j, pos_j)
+        out = np.asarray(out)
+        n_emit = np.asarray(n_emit)
+        emitted = 0
+        for i, r in enumerate(reqs):
+            used = 0
+            for j in range(int(n_emit[i])):
+                if r.done:
+                    break  # eos / max_new_tokens hit mid-acceptance
+                r.output.append(int(out[i, j]))
+                used += 1
+            emitted += used
+            # shrink the reservation to the committed frontier: cache holds
+            # KV through the token BEFORE the next fed token (= output[-1])
+            self.rt.seq_truncate(r.slot, r.context_len - 1)
+            self.stats["spec_accepted"] += max(used - 1, 0)
+        self.stats["spec_steps"] += 1
+        self.stats["spec_proposed"] += g * n
+        self.stats["decode_steps"] += 1
+        self.stats["decode_tokens"] += emitted
+        self.stats["decode_time"] += time.perf_counter() - t0
+
     # ----------------------------------------------------------------- step
     def step(self) -> list[Request]:
         """One engine iteration. Returns requests finished this step.
@@ -456,6 +632,38 @@ class Engine:
             if req.done:
                 self.sched.finish(req)
                 finished.append(req)
+
+        if self.spec:
+            batch = []
+            for req in list(self.sched.running):
+                if req.slot < 0:
+                    continue  # preempted by an earlier grow() this snapshot
+                # reserve through the speculative frontier: fed token + g
+                # proposals (a fresh admission needs g+1 grows, a re-admitted
+                # request g — prefill already wrote its fed token's KV)
+                ok = True
+                while (req.slot >= 0 and
+                       self.rt.seq_length(req.slot) <
+                       req.context_len + self.n_draft):
+                    if not self.sched.grow(req):
+                        ok = False
+                        break
+                if ok and req.slot >= 0:
+                    batch.append(req)
+            batch = [r for r in batch if r.slot >= 0]  # late preemptions
+            if batch:
+                try:
+                    self._spec_decode_batch(batch)
+                except Exception as e:  # noqa: BLE001 — surfacing, not hiding
+                    for req in batch:
+                        self.sched.fail(req, f"spec decode failed: {e!r}")
+                    finished.extend(batch)
+                    return finished
+                for req in batch:
+                    if req.done:
+                        self.sched.finish(req)
+                        finished.append(req)
+            return finished
 
         batch, feed = [], []
         for req in list(self.sched.running):

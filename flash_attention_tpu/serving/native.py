@@ -43,6 +43,8 @@ def _load_native():
         ("fat_seq_release_prefix",
          [ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]),
         ("fat_seq_append", [ctypes.c_void_p, ctypes.c_int32]),
+        ("fat_seq_truncate",
+         [ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]),
         ("fat_seq_length", [ctypes.c_void_p, ctypes.c_int32]),
         ("fat_seq_num_pages", [ctypes.c_void_p, ctypes.c_int32]),
         ("fat_can_admit", [ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]),
@@ -129,6 +131,24 @@ class _PyRuntime:
         self.length[slot] += 1
         return 0
 
+    def seq_truncate(self, slot: int, new_length: int) -> int:
+        """Shrink to ``new_length`` tokens, freeing whole tail pages past the
+        boundary (speculative decoding returns its unused reservation here).
+        Growing is rejected. Returns pages freed, -1 on bad slot/length."""
+        if self._bad_slot(slot):
+            return -1
+        if new_length < 0 or new_length > self.length[slot]:
+            return -1
+        keep = self._pages_for(new_length)
+        freed = 0
+        while len(self.pages[slot]) > keep:
+            p = self.pages[slot].pop()
+            if p >= 0:
+                self.free_list.append(p)
+                freed += 1
+        self.length[slot] = new_length
+        return freed
+
     def seq_free(self, slot: int) -> None:
         if self._bad_slot(slot):
             return
@@ -204,6 +224,11 @@ class PagedRuntime:
         if self.is_native:
             return self._lib.fat_seq_append(self._h, slot)
         return self._py.seq_append(slot)
+
+    def seq_truncate(self, slot: int, new_length: int) -> int:
+        if self.is_native:
+            return self._lib.fat_seq_truncate(self._h, slot, new_length)
+        return self._py.seq_truncate(slot, new_length)
 
     def seq_free(self, slot: int) -> None:
         if self.is_native:

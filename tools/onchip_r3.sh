@@ -14,6 +14,7 @@ run() {
 
 run smoke_window     2400 python tools/smoke_window_onchip.py
 run smoke_softcap    2400 python tools/smoke_softcap_onchip.py
+run bench_spec       3600 python tools/bench_spec.py
 run attribute_causal 2400 python tools/attribute_causal8k.py
 run probe_hd64       2400 python tools/probe_hd64_16k.py
 run bench_vs_xla     3600 python tools/bench_vs_xla.py

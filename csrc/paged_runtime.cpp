@@ -35,6 +35,7 @@ struct Runtime {
   int32_t total_pages = 0;
   int32_t page_size = 0;
   std::vector<int32_t> free_list;       // stack of free page ids
+  std::vector<int32_t> ref;             // per-page refcount (0 = on free_list)
   std::vector<Sequence> seqs;           // slot id -> sequence
   std::vector<int32_t> free_slots;      // stack of free slot ids
 };
@@ -46,6 +47,25 @@ int32_t pages_for(const Runtime* rt, int32_t tokens) {
 bool bad_slot(const Runtime* rt, int32_t slot) {
   return slot < 0 || slot >= static_cast<int32_t>(rt->seqs.size()) ||
          !rt->seqs[slot].live;
+}
+
+bool bad_page(const Runtime* rt, int32_t page) {
+  return page < 0 || page >= rt->total_pages;
+}
+
+// Every page release goes through here: prefix caching shares prompt pages
+// across sequences (and pins them from the engine's content-hash registry),
+// so a page returns to the free list only when its LAST reference drops.
+void release_page(Runtime* rt, int32_t page) {
+  if (page < 0) return;  // window hole
+  if (--rt->ref[page] == 0) rt->free_list.push_back(page);
+}
+
+int32_t take_page(Runtime* rt) {
+  int32_t p = rt->free_list.back();
+  rt->free_list.pop_back();
+  rt->ref[p] = 1;
+  return p;
 }
 
 }  // namespace
@@ -61,6 +81,7 @@ void* fat_runtime_create(int32_t total_pages, int32_t page_size,
   rt->page_size = page_size;
   rt->free_list.reserve(total_pages);
   for (int32_t i = total_pages - 1; i >= 0; --i) rt->free_list.push_back(i);
+  rt->ref.assign(total_pages, 0);
   rt->seqs.resize(max_seqs);
   rt->free_slots.reserve(max_seqs);
   for (int32_t i = max_seqs - 1; i >= 0; --i) rt->free_slots.push_back(i);
@@ -94,10 +115,7 @@ int32_t fat_seq_alloc_windowed(void* h, int32_t prompt_tokens,
   s.length = prompt_tokens;
   s.live = true;
   for (int32_t i = 0; i < live_from_page; ++i) s.pages.push_back(-1);
-  for (int32_t i = 0; i < need; ++i) {
-    s.pages.push_back(rt->free_list.back());
-    rt->free_list.pop_back();
-  }
+  for (int32_t i = 0; i < need; ++i) s.pages.push_back(take_page(rt));
   return slot;
 }
 
@@ -117,7 +135,7 @@ int32_t fat_seq_release_prefix(void* h, int32_t slot, int32_t upto_page) {
   int32_t freed = 0;
   for (int32_t i = 0; i < upto_page; ++i) {
     if (s.pages[i] >= 0) {
-      rt->free_list.push_back(s.pages[i]);
+      release_page(rt, s.pages[i]);
       s.pages[i] = -1;
       ++freed;
     }
@@ -134,8 +152,7 @@ int32_t fat_seq_append(void* h, int32_t slot) {
   int32_t need = pages_for(rt, s.length + 1);
   if (need > static_cast<int32_t>(s.pages.size())) {
     if (rt->free_list.empty()) return -1;
-    s.pages.push_back(rt->free_list.back());
-    rt->free_list.pop_back();
+    s.pages.push_back(take_page(rt));
   }
   s.length += 1;
   return 0;
@@ -154,7 +171,7 @@ int32_t fat_seq_truncate(void* h, int32_t slot, int32_t new_length) {
   int32_t freed = 0;
   while (static_cast<int32_t>(s.pages.size()) > keep) {
     if (s.pages.back() >= 0) {
-      rt->free_list.push_back(s.pages.back());
+      release_page(rt, s.pages.back());
       ++freed;
     }
     s.pages.pop_back();
@@ -169,7 +186,7 @@ void fat_seq_free(void* h, int32_t slot) {
   if (bad_slot(rt, slot)) return;
   Sequence& s = rt->seqs[slot];
   for (int32_t p : s.pages)
-    if (p >= 0) rt->free_list.push_back(p);  // skip window holes
+    release_page(rt, p);  // skips window holes; frees on last reference
   s.pages.clear();
   s.length = 0;
   s.live = false;
@@ -204,6 +221,63 @@ int32_t fat_seq_page_table(void* h, int32_t slot, int32_t* out,
   for (; i < n && i < out_len; ++i) out[i] = s.pages[i] >= 0 ? s.pages[i] : pad;
   for (; i < out_len; ++i) out[i] = pad;
   return n;
+}
+
+// Allocate a sequence whose first `n_shared` pages ADOPT the given already-
+// live pages (prefix caching: another sequence / the engine's prefix
+// registry holds them and their KV is valid for this prompt's prefix). The
+// adopted pages are re-referenced, not copied; only the remaining
+// pages_for(prompt_tokens) - n_shared pages are newly allocated. Returns the
+// slot id, or -1 (nothing touched) on: no free slot, not enough free pages,
+// a shared page id out of range or not currently referenced (adopting a
+// FREE page would hand out a page the allocator still owns), or n_shared
+// exceeding the prompt's page count.
+int32_t fat_seq_alloc_prefixed(void* h, int32_t prompt_tokens,
+                               const int32_t* shared, int32_t n_shared) {
+  auto* rt = static_cast<Runtime*>(h);
+  if (rt->free_slots.empty()) return -1;
+  int32_t total = pages_for(rt, prompt_tokens);
+  if (n_shared < 0 || n_shared > total) return -1;
+  for (int32_t i = 0; i < n_shared; ++i)
+    if (bad_page(rt, shared[i]) || rt->ref[shared[i]] <= 0) return -1;
+  int32_t need = total - n_shared;
+  if (need > static_cast<int32_t>(rt->free_list.size())) return -1;
+  int32_t slot = rt->free_slots.back();
+  rt->free_slots.pop_back();
+  Sequence& s = rt->seqs[slot];
+  s.pages.clear();
+  s.length = prompt_tokens;
+  s.live = true;
+  for (int32_t i = 0; i < n_shared; ++i) {
+    ++rt->ref[shared[i]];
+    s.pages.push_back(shared[i]);
+  }
+  for (int32_t i = 0; i < need; ++i) s.pages.push_back(take_page(rt));
+  return slot;
+}
+
+// Pin a live page (the prefix registry takes a reference so the page — and
+// its KV — outlives the sequences using it). Refuses free pages: pinning
+// what the allocator owns would corrupt the free list. Returns 0 / -1.
+int32_t fat_page_pin(void* h, int32_t page) {
+  auto* rt = static_cast<Runtime*>(h);
+  if (bad_page(rt, page) || rt->ref[page] <= 0) return -1;
+  ++rt->ref[page];
+  return 0;
+}
+
+// Drop a pin (registry eviction). The page frees when no sequence holds it.
+int32_t fat_page_unpin(void* h, int32_t page) {
+  auto* rt = static_cast<Runtime*>(h);
+  if (bad_page(rt, page) || rt->ref[page] <= 0) return -1;
+  release_page(rt, page);
+  return 0;
+}
+
+// Current reference count (tests / debugging). -1 on a bad page id.
+int32_t fat_page_refcount(void* h, int32_t page) {
+  auto* rt = static_cast<Runtime*>(h);
+  return bad_page(rt, page) ? -1 : rt->ref[page];
 }
 
 // Admission check used by the continuous-batching scheduler: would a prompt

@@ -53,6 +53,7 @@ class Engine:
         draft_cfg: llama.LlamaConfig | None = None,
         draft_params=None,
         n_draft: int = 4,
+        prefix_cache: bool = False,
     ):
         self.cfg = cfg
         self.params = params
@@ -122,9 +123,34 @@ class Engine:
             # steady-state live pages stay O(window + chunk_size).
             sched_live = lambda tokens: _live_from_page(
                 min(tokens, chunk_size + 1))
+        # Automatic prefix caching: requests sharing a prompt prefix adopt
+        # the pages already holding that prefix's KV (allocator refcounts +
+        # a chain-hash registry, serving/prefix.py) and prefill only the
+        # suffix through the prefill_chunk path. Incompatible with sliding-
+        # window page reclamation (holes break the hole-free-prefix
+        # invariant adoption relies on) and with chunk_size (the prefix path
+        # is itself a chunked dispatch).
+        self.prefix = None
+        if prefix_cache:
+            if self.window is not None:
+                raise ValueError("prefix caching with sliding-window page "
+                                 "reclamation is not supported")
+            if chunk_size is not None:
+                raise ValueError("prefix caching with chunked prefill is "
+                                 "not supported; the prefix path already "
+                                 "prefills in one suffix chunk")
+            if mesh is not None:
+                raise ValueError("prefix caching with tensor parallelism is "
+                                 "not supported yet")
+            from flash_attention_tpu.serving.prefix import PrefixCache
+            self.prefix = PrefixCache(self.rt, page_size)
         self.sched = Scheduler(self.rt, max_batch=max_batch,
                                reserve_pages=max_batch,
-                               live_from_page_fn=sched_live)
+                               live_from_page_fn=sched_live,
+                               can_admit_fn=(self._prefix_can_admit
+                                             if prefix_cache else None),
+                               alloc_fn=(self._prefix_alloc
+                                         if prefix_cache else None))
         # page table width: one batch row must span max_seq_len, padded to a
         # multiple of the kernel's pages_per_block (8)
         self.pages_per_seq = _round_up(_round_up(max_seq_len, page_size)
@@ -275,6 +301,35 @@ class Engine:
             need_filters=need_filters)
         return [int(t) for t in np.asarray(toks)]
 
+    # ------------------------------------------------------- prefix caching
+    def _prefix_can_admit(self, req: Request) -> bool:
+        """Admission check counting cached-prefix reuse and eviction
+        headroom: a request needs pages only for its UNcached context, and
+        registry-only cached pages can be evicted to make room (LRU,
+        excluding the pages this very request is about to adopt)."""
+        cap = req.context_len - 1  # >= 1 suffix token for its logits
+        shared = len(self.prefix.lookup(req.prompt, cap))
+        need = (-(-(req.context_len + 1) // self.page_size) - shared
+                + self.sched.reserve_pages)
+        shortfall = need - self.rt.free_pages()
+        if shortfall > 0:
+            keep = self.prefix.keep_set(req.prompt, cap)
+            if self.prefix.evict(shortfall, keep=keep) < shortfall:
+                return False
+        return self.rt.can_admit(req.context_len + 1 -
+                                 shared * self.page_size,
+                                 self.sched.reserve_pages)
+
+    def _prefix_alloc(self, req: Request) -> int:
+        pages = self.prefix.lookup(req.prompt, req.context_len - 1)
+        slot = self.rt.seq_alloc_prefixed(req.context_len, pages)
+        if slot >= 0:
+            req.cached_tokens = len(pages) * self.page_size
+            self.stats["prefix_reused_tokens"] = (
+                self.stats.get("prefix_reused_tokens", 0)
+                + req.cached_tokens)
+        return slot
+
     # -------------------------------------------------------------- prefill
     def _prefill_batch(self, reqs: list[Request]) -> None:
         """ONE padded-batch prefill for every request admitted this step
@@ -290,6 +345,8 @@ class Engine:
         t0 = time.perf_counter()
         seqs = [r.prompt + r.output for r in reqs]
         n_max = max(len(s) for s in seqs)
+        if self.prefix is not None:
+            return self._prefill_prefix(reqs, seqs, t0)
         if self.chunk_size is not None and n_max > self.chunk_size:
             return self._prefill_chunked(reqs, seqs, t0)
         bucket = max(32, 1 << (n_max - 1).bit_length())
@@ -353,6 +410,94 @@ class Engine:
                 # the EXACT uninterrupted completion (spec draws are keyed by
                 # (seed, output position) on their own sub-streams)
                 continue
+            req.output.append(tok)
+        self.stats["prefill_dispatches"] += 1
+        self.stats["prefill_time"] += time.perf_counter() - t0
+
+    def _prefill_prefix(self, reqs: list[Request], seqs, t0) -> None:
+        """Prefill with prefix-cache reuse: one ``prefill_chunk`` dispatch
+        computes only each row's UNcached suffix (per-row ``done`` = its
+        adopted cached tokens, page-aligned), attending [cached prefix pages
+        || suffix]. Afterwards each prompt's full pages are registered (pin
+        + chain hash) so later requests sharing the prefix adopt them. Rows
+        with no cache hit run here too (done = 0) — one code path, one
+        compile shape per (batch, bucket, npp) triple.
+        """
+        ps = self.page_size
+        n = len(reqs)
+        bsz = max(1, 1 << (n - 1).bit_length())
+        done = np.zeros((bsz,), np.int32)
+        clen = np.zeros((bsz,), np.int32)
+        for i, (r, s) in enumerate(zip(reqs, seqs)):
+            done[i] = r.cached_tokens   # page-aligned, <= context - 1
+            clen[i] = len(s) - r.cached_tokens
+        c = max(32, 1 << (int(clen.max()) - 1).bit_length())
+        toks = np.zeros((bsz, c), np.int32)
+        for i, s in enumerate(seqs):
+            toks[i, : clen[i]] = s[done[i]:]
+        npp = 1 << max(0, (int(done.max()) // ps - 1).bit_length()) \
+            if done.max() > 0 else 1
+        npp = max(npp, 1)
+        tables = np.full((bsz, npp), self.trash_page, np.int32)
+        for i, r in enumerate(reqs):
+            row = self.rt.seq_page_table(r.slot, npp, pad=-1)
+            tables[i] = np.where(np.asarray(row) < 0, self.trash_page, row)
+        args = (jnp.asarray(toks), jnp.asarray(done), jnp.asarray(clen),
+                self.k_pages, self.v_pages, self.k_scales, self.v_scales,
+                jnp.asarray(tables))
+        logits, ks, vs = llama.prefill_chunk(self.params, *args, self.cfg)
+        # scatter the suffix K/V: chunk-local page j of row i lands at the
+        # row's global page done//ps + j (done is page-aligned); N pads to
+        # pow2 aimed at the trash page to bound the compile count
+        dest, src_row, src_page = [], [], []
+        for i, r in enumerate(reqs):
+            p0 = int(done[i]) // ps
+            n_pages = -(-int(clen[i]) // ps)
+            row = self.rt.seq_page_table(r.slot, p0 + n_pages, pad=-1)
+            for j in range(n_pages):
+                if row[p0 + j] < 0:
+                    continue
+                dest.append(row[p0 + j])
+                src_row.append(i)
+                src_page.append(j)
+            self.stats["prefill_tokens"] += int(clen[i])
+        n_pad = 1 << (len(dest) - 1).bit_length()
+        dest += [self.trash_page] * (n_pad - len(dest))
+        src_row += [0] * (n_pad - len(src_row))
+        src_page += [0] * (n_pad - len(src_page))
+        dest = jnp.asarray(dest, jnp.int32)
+        src_row = jnp.asarray(src_row, jnp.int32)
+        src_page = jnp.asarray(src_page, jnp.int32)
+        (self.k_pages, self.v_pages, self.k_scales, self.v_scales) = \
+            llama.write_prefill_to_pages(
+                self.k_pages, self.v_pages, (ks, vs), dest, src_row,
+                src_page, ps, k_scales=self.k_scales,
+                v_scales=self.v_scales)
+        if self.spec:
+            # adopted pages hold the DRAFT model's prefix KV too (written
+            # when the prefix was first prefilled), so the draft skips the
+            # same cached tokens
+            _, ks_d, vs_d = llama.prefill_chunk(
+                self.draft_params, args[0], args[1], args[2],
+                self.k_pages_d, self.v_pages_d, self.k_scales_d,
+                self.v_scales_d, args[7], self.draft_cfg)
+            (self.k_pages_d, self.v_pages_d, self.k_scales_d,
+             self.v_scales_d) = llama.write_prefill_to_pages(
+                self.k_pages_d, self.v_pages_d, (ks_d, vs_d), dest, src_row,
+                src_page, ps, k_scales=self.k_scales_d,
+                v_scales=self.v_scales_d)
+        # register the prompts' full pages (valid now that prefill wrote
+        # them); a re-admitted request's pages are usually already present
+        for r in reqs:
+            full = len(r.prompt) // ps
+            if full:
+                self.prefix.register(
+                    r.prompt, self.rt.seq_page_table(r.slot, full, pad=-1))
+        last = jnp.asarray(np.maximum(clen - 1, 0), jnp.int32)
+        rows = logits[jnp.arange(bsz), last]
+        for req, tok in zip(reqs, self._sample_batch(reqs, rows)):
+            if self.spec and req.output:
+                continue  # spec re-admission: see _prefill_batch
             req.output.append(tok)
         self.stats["prefill_dispatches"] += 1
         self.stats["prefill_time"] += time.perf_counter() - t0

@@ -50,6 +50,12 @@ def _load_native():
         ("fat_can_admit", [ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]),
         ("fat_can_admit_windowed",
          [ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]),
+        ("fat_seq_alloc_prefixed",
+         [ctypes.c_void_p, ctypes.c_int32,
+          ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]),
+        ("fat_page_pin", [ctypes.c_void_p, ctypes.c_int32]),
+        ("fat_page_unpin", [ctypes.c_void_p, ctypes.c_int32]),
+        ("fat_page_refcount", [ctypes.c_void_p, ctypes.c_int32]),
     ]:
         fn = getattr(lib, name)
         fn.restype = ctypes.c_int32
@@ -70,7 +76,9 @@ class _PyRuntime:
 
     def __init__(self, total_pages: int, page_size: int, max_seqs: int):
         self.page_size = page_size
+        self.total_pages = total_pages
         self.free_list = list(range(total_pages - 1, -1, -1))
+        self.ref = [0] * total_pages   # per-page refcount (0 = on free_list)
         self.pages = [[] for _ in range(max_seqs)]
         self.length = [0] * max_seqs
         self.live = [False] * max_seqs
@@ -78,6 +86,20 @@ class _PyRuntime:
 
     def _pages_for(self, tokens: int) -> int:
         return -(-tokens // self.page_size)
+
+    def _release(self, page: int) -> None:
+        """Pages are shared (prefix caching) and pinned (prefix registry):
+        a page frees only when its LAST reference drops."""
+        if page < 0:
+            return  # window hole
+        self.ref[page] -= 1
+        if self.ref[page] == 0:
+            self.free_list.append(page)
+
+    def _take(self) -> int:
+        p = self.free_list.pop()
+        self.ref[p] = 1
+        return p
 
     def free_pages(self) -> int:
         return len(self.free_list)
@@ -95,7 +117,7 @@ class _PyRuntime:
         # window guarantees their tokens' KV is never read, so no physical
         # page backs them
         self.pages[slot] = ([-1] * live_from
-                            + [self.free_list.pop() for _ in range(need)])
+                            + [self._take() for _ in range(need)])
         self.length[slot] = prompt_tokens
         self.live[slot] = True
         return slot
@@ -109,7 +131,7 @@ class _PyRuntime:
         freed = 0
         for j in range(min(upto_page, len(self.pages[slot]))):
             if self.pages[slot][j] >= 0:
-                self.free_list.append(self.pages[slot][j])
+                self._release(self.pages[slot][j])
                 self.pages[slot][j] = -1
                 freed += 1
         return freed
@@ -127,7 +149,7 @@ class _PyRuntime:
         if need > len(self.pages[slot]):
             if not self.free_list:
                 return -1
-            self.pages[slot].append(self.free_list.pop())
+            self.pages[slot].append(self._take())
         self.length[slot] += 1
         return 0
 
@@ -144,7 +166,7 @@ class _PyRuntime:
         while len(self.pages[slot]) > keep:
             p = self.pages[slot].pop()
             if p >= 0:
-                self.free_list.append(p)
+                self._release(p)
                 freed += 1
         self.length[slot] = new_length
         return freed
@@ -152,7 +174,8 @@ class _PyRuntime:
     def seq_free(self, slot: int) -> None:
         if self._bad_slot(slot):
             return
-        self.free_list.extend(p for p in self.pages[slot] if p >= 0)
+        for p in self.pages[slot]:
+            self._release(p)
         self.pages[slot] = []
         self.length[slot] = 0
         self.live[slot] = False
@@ -176,6 +199,50 @@ class _PyRuntime:
             return False
         need = max(0, self._pages_for(prompt_tokens) - live_from_page)
         return need + reserve_pages <= len(self.free_list)
+
+    def seq_alloc_prefixed(self, prompt_tokens: int,
+                           shared: list[int]) -> int:
+        """Allocate adopting ``shared`` as the first pages (prefix caching:
+        their KV is valid for this prompt's prefix; re-referenced, not
+        copied). -1 (nothing touched) on bad/free shared ids, too many
+        shared pages, or pool/slot exhaustion."""
+        if not self.free_slots:
+            return -1
+        total = self._pages_for(prompt_tokens)
+        if len(shared) > total:
+            return -1
+        for p in shared:
+            if p < 0 or p >= self.total_pages or self.ref[p] <= 0:
+                return -1
+        need = total - len(shared)
+        if need > len(self.free_list):
+            return -1
+        slot = self.free_slots.pop()
+        for p in shared:
+            self.ref[p] += 1
+        self.pages[slot] = list(shared) + [self._take() for _ in range(need)]
+        self.length[slot] = prompt_tokens
+        self.live[slot] = True
+        return slot
+
+    def page_pin(self, page: int) -> int:
+        """Registry reference: the page (and its KV) outlives the sequences
+        using it. Refuses free pages."""
+        if page < 0 or page >= self.total_pages or self.ref[page] <= 0:
+            return -1
+        self.ref[page] += 1
+        return 0
+
+    def page_unpin(self, page: int) -> int:
+        if page < 0 or page >= self.total_pages or self.ref[page] <= 0:
+            return -1
+        self._release(page)
+        return 0
+
+    def page_refcount(self, page: int) -> int:
+        if page < 0 or page >= self.total_pages:
+            return -1
+        return self.ref[page]
 
 
 class PagedRuntime:
@@ -260,3 +327,26 @@ class PagedRuntime:
                 self._h, prompt_tokens, live_from_page, reserve_pages))
         return self._py.can_admit(prompt_tokens, reserve_pages,
                                   live_from_page)
+
+    def seq_alloc_prefixed(self, prompt_tokens: int,
+                           shared: list[int]) -> int:
+        if self.is_native:
+            buf = (ctypes.c_int32 * max(len(shared), 1))(*shared)
+            return self._lib.fat_seq_alloc_prefixed(
+                self._h, prompt_tokens, buf, len(shared))
+        return self._py.seq_alloc_prefixed(prompt_tokens, shared)
+
+    def page_pin(self, page: int) -> int:
+        if self.is_native:
+            return self._lib.fat_page_pin(self._h, page)
+        return self._py.page_pin(page)
+
+    def page_unpin(self, page: int) -> int:
+        if self.is_native:
+            return self._lib.fat_page_unpin(self._h, page)
+        return self._py.page_unpin(page)
+
+    def page_refcount(self, page: int) -> int:
+        if self.is_native:
+            return self._lib.fat_page_refcount(self._h, page)
+        return self._py.page_refcount(page)

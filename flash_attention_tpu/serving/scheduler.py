@@ -37,6 +37,10 @@ class Request:
     top_k: int = 0               # 0 = no top-k filter
     top_p: float = 1.0           # 1.0 = no nucleus filter
     seed: int = 0
+    # Prefix caching: tokens of this admission's context whose KV pages were
+    # ADOPTED from the cache (page-aligned); prefill skips them. Set by the
+    # engine's alloc hook at every (re-)admission.
+    cached_tokens: int = 0
 
     @property
     def done(self) -> bool:
@@ -55,7 +59,8 @@ class Request:
 
 class Scheduler:
     def __init__(self, runtime: PagedRuntime, max_batch: int,
-                 reserve_pages: int = 0, live_from_page_fn=None):
+                 reserve_pages: int = 0, live_from_page_fn=None,
+                 can_admit_fn=None, alloc_fn=None):
         self.rt = runtime
         self.max_batch = max_batch
         self.reserve_pages = reserve_pages
@@ -64,6 +69,16 @@ class Scheduler:
         # config + kernel block granularity). Pages before it are allocated
         # as holes and never backed by memory. Default: everything is live.
         self.live_from_page = live_from_page_fn or (lambda tokens: 0)
+        # Admission overrides (prefix caching): the engine supplies a check
+        # that counts cached-page reuse/eviction headroom and an allocator
+        # that adopts cached pages. Defaults: plain page-budget admission.
+        self.can_admit_fn = can_admit_fn or (
+            lambda req: self.rt.can_admit(
+                req.context_len + 1, self.reserve_pages,
+                self.live_from_page(req.context_len + 1)))
+        self.alloc_fn = alloc_fn or (
+            lambda req: self.rt.seq_alloc(
+                req.context_len, self.live_from_page(req.context_len)))
         self.waiting: deque[Request] = deque()
         self.running: list[Request] = []
 
@@ -81,13 +96,9 @@ class Scheduler:
         non-greedy sampling."""
         admitted = []
         while (self.waiting and len(self.running) < self.max_batch and
-               self.rt.can_admit(self.waiting[0].context_len + 1,
-                                 self.reserve_pages,
-                                 self.live_from_page(
-                                     self.waiting[0].context_len + 1))):
+               self.can_admit_fn(self.waiting[0])):
             req = self.waiting.popleft()
-            slot = self.rt.seq_alloc(req.context_len,
-                                     self.live_from_page(req.context_len))
+            slot = self.alloc_fn(req)
             if slot < 0:
                 self.waiting.appendleft(req)
                 break

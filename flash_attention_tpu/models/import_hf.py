@@ -58,6 +58,23 @@ def _window_from_hf(hf_config) -> tuple[int | None, int]:
     return int(window), period
 
 
+def _rope_scaling_from_hf(hf_config):
+    """Map HF ``rope_scaling`` to LlamaConfig.rope_scaling. Only the
+    Llama-3.1 remap ("llama3") is modeled; anything else fails loudly
+    rather than silently serving a model with wrong positional geometry."""
+    rs = getattr(hf_config, "rope_scaling", None)
+    if rs is None:
+        return None
+    kind = rs.get("rope_type", rs.get("type", "default"))
+    if kind == "default":
+        return None
+    if kind != "llama3":
+        raise ValueError(f"unsupported rope_scaling type: {kind!r}")
+    return (float(rs["factor"]), float(rs["low_freq_factor"]),
+            float(rs["high_freq_factor"]),
+            int(rs["original_max_position_embeddings"]))
+
+
 def config_from_hf(hf_config) -> LlamaConfig:
     window, pattern = _window_from_hf(hf_config)
     kind = getattr(hf_config, "model_type", "llama")
@@ -83,6 +100,7 @@ def config_from_hf(hf_config) -> LlamaConfig:
         or hf_config.hidden_size // hf_config.num_attention_heads,
         hidden_dim=hf_config.intermediate_size,
         rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+        rope_scaling=_rope_scaling_from_hf(hf_config),
         norm_eps=hf_config.rms_norm_eps,
         sliding_window=window,
         window_pattern=pattern,

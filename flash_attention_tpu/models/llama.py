@@ -44,6 +44,13 @@ class LlamaConfig:
     head_dim: int = 128
     hidden_dim: int = 11008
     rope_theta: float = 10000.0
+    # Llama-3.1-style RoPE frequency scaling for long context: a tuple
+    # (factor, low_freq_factor, high_freq_factor, original_max_position) —
+    # wavelengths past original_max/low stretch by `factor`, wavelengths
+    # under original_max/high keep base RoPE, the band between interpolates
+    # smoothly (HF rope_type "llama3"). None = plain RoPE. A tuple (not a
+    # dict) so the frozen config stays hashable for jit static args.
+    rope_scaling: tuple[float, float, float, int] | None = None
     norm_eps: float = 1e-5
     # Sliding-window attention (Mistral-style): each token attends to the
     # last `sliding_window` positions, itself included. None = full causal.
@@ -85,6 +92,20 @@ class LlamaConfig:
         return cls(vocab_size=32000, dim=4096, n_layers=32, n_heads=32,
                    n_kv_heads=8, head_dim=128, hidden_dim=14336,
                    rope_theta=10000.0, sliding_window=4096)
+
+    @classmethod
+    def llama3_8b(cls):
+        """Llama-3-8B geometry: GQA (8 kv heads), 128k vocab, theta 5e5."""
+        return cls(vocab_size=128256, dim=4096, n_layers=32, n_heads=32,
+                   n_kv_heads=8, head_dim=128, hidden_dim=14336,
+                   rope_theta=500000.0)
+
+    @classmethod
+    def llama31_8b(cls):
+        """Llama-3.1-8B: the 3.0 geometry plus the long-context RoPE remap
+        (factor 8, low 1, high 4, original max 8192)."""
+        return dataclasses.replace(cls.llama3_8b(),
+                                   rope_scaling=(8.0, 1.0, 4.0, 8192))
 
     @classmethod
     def gemma2_9b(cls):
@@ -182,11 +203,24 @@ def _rmsnorm(x, g, eps):
     return (n * g.astype(jnp.float32)).astype(x.dtype)
 
 
-def _rope(x, positions, theta):
-    """x: (..., seq, heads, head_dim); positions: (..., seq) int32."""
+def _rope(x, positions, theta, scaling=None):
+    """x: (..., seq, heads, head_dim); positions: (..., seq) int32;
+    scaling: LlamaConfig.rope_scaling (Llama-3.1 frequency remap) or None."""
     hd = x.shape[-1]
     half = hd // 2
     freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    if scaling is not None:
+        # Llama-3.1 long-context remap (HF rope_type "llama3"): frequencies
+        # whose wavelength exceeds original_max/low_f stretch by `factor`,
+        # those under original_max/high_f stay base, the band between
+        # interpolates linearly in original_max/wavelength
+        factor, low_f, high_f, orig_max = scaling
+        wavelen = 2.0 * jnp.pi / freqs
+        smooth = (orig_max / wavelen - low_f) / (high_f - low_f)
+        mid = (1.0 - smooth) * freqs / factor + smooth * freqs
+        freqs = jnp.where(wavelen < orig_max / high_f, freqs,
+                          jnp.where(wavelen > orig_max / low_f,
+                                    freqs / factor, mid))
     angles = positions[..., :, None, None].astype(jnp.float32) * freqs  # (..., seq, 1, half)
     cos, sin = jnp.cos(angles), jnp.sin(angles)
     x1, x2 = x[..., :half].astype(jnp.float32), x[..., half:].astype(jnp.float32)
@@ -259,8 +293,8 @@ def prefill(params, tokens, cfg: LlamaConfig, tp_axis: str | None = None,
         q = _mm(h, wq).reshape(b, s, cfg.n_heads, cfg.head_dim)
         k = _mm(h, wk).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
         v = _mm(h, wv).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
-        q = _rope(q, positions, cfg.rope_theta)
-        k = _rope(k, positions, cfg.rope_theta)
+        q = _rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
+        k = _rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
         if kv_fake_quant is not None:
             def fq(t):
                 tq, sc = _quantize_token(t, kv_fake_quant)
@@ -367,8 +401,8 @@ def prefill_chunk(params, tokens, done, chunk_len, k_pages, v_pages,
         q = _mm(h, wq).reshape(b, c, cfg.n_heads, cfg.head_dim)
         k = _mm(h, wk).reshape(b, c, cfg.n_kv_heads, cfg.head_dim)
         v = _mm(h, wv).reshape(b, c, cfg.n_kv_heads, cfg.head_dim)
-        q = _rope(q, positions, cfg.rope_theta)
-        k = _rope(k, positions, cfg.rope_theta)
+        q = _rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
+        k = _rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
 
         # gather the prefix K/V pages densely: (hk, b, npp, ps, d) ->
         # (b, npp*ps, hk, d); page-granular so it lowers to DMA copies
@@ -543,8 +577,10 @@ def _decode_core(
         q = _mm(h, wq).reshape(b, 1, cfg.n_heads, cfg.head_dim)
         k = _mm(h, wk).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
         v = _mm(h, wv).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
-        q = _rope(q, pos[:, None], cfg.rope_theta)[:, 0]  # (b, H, hd)
-        k = _rope(k, pos[:, None], cfg.rope_theta)[:, 0]  # (b, HK, hd)
+        q = _rope(q, pos[:, None], cfg.rope_theta,
+                  cfg.rope_scaling)[:, 0]  # (b, H, hd)
+        k = _rope(k, pos[:, None], cfg.rope_theta,
+                  cfg.rope_scaling)[:, 0]  # (b, HK, hd)
         v = v[:, 0]
         # scatter this token's K/V into its page slot (page-tile
         # gather/modify/scatter — see _scatter_token_kv)

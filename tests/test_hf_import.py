@@ -138,3 +138,58 @@ def test_gemma2_greedy_generation_matches_hf(hf_gemma2):
     req = eng.add_request([int(t) for t in prompt[0]], max_new_tokens=5)
     eng.run()
     assert req.output == hf_new, (req.output, hf_new)
+
+
+@pytest.fixture(scope="module")
+def hf_llama31():
+    # original_max_position_embeddings=16 << prompt length so ALL three
+    # rope_scaling branches (stretch / base / interpolation band) are live
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        max_position_embeddings=512, rms_norm_eps=1e-5, rope_theta=10000.0,
+        attention_bias=False, tie_word_embeddings=False,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 16},
+    )
+    torch.manual_seed(2)
+    model = transformers.LlamaForCausalLM(cfg)
+    model.eval()
+    return model
+
+
+def test_llama31_rope_scaling_logits_match_hf(hf_llama31):
+    params, cfg = from_hf(hf_llama31, dtype=jnp.float32)
+    assert cfg.rope_scaling == (8.0, 1.0, 4.0, 16)
+    rng = np.random.default_rng(3)
+    toks = rng.integers(0, 128, size=(2, 49))
+    with torch.no_grad():
+        hf_logits = hf_llama31(torch.from_numpy(toks)).logits.numpy()
+    logits, _, _ = llama.prefill(params, jnp.asarray(toks, jnp.int32), cfg)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits,
+                               rtol=2e-3, atol=2e-3)
+    # scaling changes the numbers: the same weights WITHOUT the remap must
+    # NOT match (guards against the remap silently not being applied)
+    import dataclasses
+    plain = dataclasses.replace(cfg, rope_scaling=None)
+    logits_plain, _, _ = llama.prefill(params, jnp.asarray(toks, jnp.int32),
+                                       plain)
+    assert np.abs(np.asarray(logits_plain) - hf_logits).max() > 1e-2
+
+
+def test_llama31_generation_matches_hf(hf_llama31):
+    params, cfg = from_hf(hf_llama31, dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    prompt = rng.integers(0, 128, size=(1, 21))
+    with torch.no_grad():
+        hf_out = hf_llama31.generate(
+            torch.from_numpy(prompt), max_new_tokens=6, do_sample=False,
+            pad_token_id=0)
+    hf_new = hf_out[0, 21:].tolist()
+    from flash_attention_tpu.serving.engine import Engine
+    eng = Engine(cfg, params, total_pages=16, page_size=16, max_batch=2,
+                 max_seq_len=128, kv_dtype=jnp.float32)
+    req = eng.add_request([int(t) for t in prompt[0]], max_new_tokens=6)
+    eng.run()
+    assert req.output == hf_new, (req.output, hf_new)

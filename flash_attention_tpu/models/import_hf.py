@@ -1,4 +1,4 @@
-"""Import HuggingFace Llama / Mistral / Gemma-2 weights into this framework.
+"""Import HuggingFace Llama / Mistral / Gemma-2 / Qwen-2 weights into this framework.
 
 Gives users of standard checkpoints a direct load path into the serving
 engine: ``params = from_hf(model)`` (or ``from_hf_state_dict``), optionally
@@ -91,6 +91,10 @@ def config_from_hf(hf_config) -> LlamaConfig:
         )
     return LlamaConfig(
         vocab_size=hf_config.vocab_size,
+        # Qwen-2 carries QKV biases; its older configs have no
+        # attention_bias attribute (implicitly true for the family)
+        attn_bias=bool(getattr(hf_config, "attention_bias",
+                               kind == "qwen2")),
         dim=hf_config.hidden_size,
         n_layers=hf_config.num_hidden_layers,
         n_heads=hf_config.num_attention_heads,
@@ -153,6 +157,12 @@ def from_hf_state_dict(state_dict, cfg: LlamaConfig, dtype=jnp.bfloat16):
             "model.layers.{}.post_attention_layernorm.weight")
         params["norm_post_mlp"] = stack_vec(
             "model.layers.{}.post_feedforward_layernorm.weight")
+    if cfg.attn_bias:  # Qwen-2 QKV biases (1-D: no transpose, no shift)
+        for ours, theirs in (("bq", "q_proj"), ("bk", "k_proj"),
+                             ("bv", "v_proj")):
+            params[ours] = jnp.asarray(
+                np.stack([get(f"model.layers.{i}.self_attn.{theirs}.bias")
+                          for i in range(cfg.n_layers)]), dtype)
     if "lm_head.weight" in state_dict:
         params["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype)
     else:  # tied embeddings

@@ -71,6 +71,7 @@ class LlamaConfig:
     query_scale: float | None = None     # sm_scale = query_scale**-0.5
     # (Gemma-2's query_pre_attn_scalar); None = 1/sqrt(head_dim)
     embed_scale: bool = False            # multiply embeddings by sqrt(dim)
+    attn_bias: bool = False              # QKV projection biases (Qwen-2)
 
     @property
     def sm_scale(self) -> float | None:
@@ -108,6 +109,13 @@ class LlamaConfig:
                                    rope_scaling=(8.0, 1.0, 4.0, 8192))
 
     @classmethod
+    def qwen2_7b(cls):
+        """Qwen2-7B geometry: GQA (4 kv heads), QKV biases, theta 1e6."""
+        return cls(vocab_size=152064, dim=3584, n_layers=28, n_heads=28,
+                   n_kv_heads=4, head_dim=128, hidden_dim=18944,
+                   rope_theta=1e6, norm_eps=1e-6, attn_bias=True)
+
+    @classmethod
     def gemma2_9b(cls):
         """Gemma-2-9B geometry: alternating 4096-window/global layers, GeGLU,
         sandwich norms, attention softcap 50 and final-logit softcap 30."""
@@ -122,6 +130,14 @@ class LlamaConfig:
         """Small config for tests/CI."""
         d = dict(vocab_size=256, dim=256, n_layers=2, n_heads=4,
                  n_kv_heads=2, head_dim=128, hidden_dim=512)
+        d.update(kw)
+        return cls(**d)
+
+    @classmethod
+    def tiny_qwen2(cls, **kw):
+        """Small Qwen-2-style config (QKV biases on)."""
+        d = dict(vocab_size=256, dim=256, n_layers=2, n_heads=4,
+                 n_kv_heads=2, head_dim=128, hidden_dim=512, attn_bias=True)
         d.update(kw)
         return cls(**d)
 
@@ -164,6 +180,11 @@ def init_params(rng, cfg: LlamaConfig, dtype=jnp.bfloat16):
     if cfg.post_norms:  # Gemma-2 sandwich norms
         params["norm_post_attn"] = jnp.ones((L, D), dtype)
         params["norm_post_mlp"] = jnp.ones((L, D), dtype)
+    if cfg.attn_bias:  # Qwen-2 QKV biases (random so tests exercise them)
+        kq, kk, kv = jax.random.split(keys[9], 3)
+        params["bq"] = w(kq, L, H * hd, scale=0.02)
+        params["bk"] = w(kk, L, HK * hd, scale=0.02)
+        params["bv"] = w(kv, L, HK * hd, scale=0.02)
     return params
 
 
@@ -244,7 +265,29 @@ def _layer_weights(params):
              "norm_attn", "norm_mlp")
     if "norm_post_attn" in params:
         names += ("norm_post_attn", "norm_post_mlp")
+    if "bq" in params:
+        names += ("bq", "bk", "bv")  # Qwen-2 QKV biases (attn_bias)
     return tuple(params[n] for n in names)
+
+
+def _unpack_layer(w, post: bool, bias: bool):
+    """Split a _layer_weights tuple into its 14 possible slots (absent
+    optional entries come back None): wq wk wv wo wg wu wd na nm npa npm
+    bq bk bv. One helper so the three forward paths cannot drift."""
+    core, off = w[:9], 9
+    npa = npm = bq = bk = bv = None
+    if post:
+        npa, npm = w[off:off + 2]
+        off += 2
+    if bias:
+        bq, bk, bv = w[off:off + 3]
+    return (*core, npa, npm, bq, bk, bv)
+
+
+def _proj(h, w, b):
+    """x @ w (+ bias) — QKV projections (Qwen-2 carries QKV biases)."""
+    out = _mm(h, w)
+    return out if b is None else out + b
 
 
 def _group_layers(tree, period: int):
@@ -283,16 +326,15 @@ def prefill(params, tokens, cfg: LlamaConfig, tp_axis: str | None = None,
         x = (x.astype(jnp.float32) * cfg.dim**0.5).astype(x.dtype)
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
     post = cfg.post_norms
+    bias = "bq" in params
 
     def one_layer(x, w, window):
-        if post:
-            (wq, wk, wv, wo, wg, wu, wd, na, nm, npa, npm) = w
-        else:
-            (wq, wk, wv, wo, wg, wu, wd, na, nm) = w
+        (wq, wk, wv, wo, wg, wu, wd, na, nm, npa, npm, bq, bk, bv) = \
+            _unpack_layer(w, post, bias)
         h = _rmsnorm(x, na, cfg.norm_eps)
-        q = _mm(h, wq).reshape(b, s, cfg.n_heads, cfg.head_dim)
-        k = _mm(h, wk).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
-        v = _mm(h, wv).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+        q = _proj(h, wq, bq).reshape(b, s, cfg.n_heads, cfg.head_dim)
+        k = _proj(h, wk, bk).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+        v = _proj(h, wv, bv).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
         q = _rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
         k = _rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
         if kv_fake_quant is not None:
@@ -379,6 +421,7 @@ def prefill_chunk(params, tokens, done, chunk_len, k_pages, v_pages,
         x = (x.astype(jnp.float32) * cfg.dim**0.5).astype(x.dtype)
     positions = done[:, None] + jnp.arange(c, dtype=jnp.int32)[None, :]
     post = cfg.post_norms
+    bias = "bq" in params
 
     # segment/position metadata for the segmented flash path:
     # kv = [prefix tokens 0..pref) || chunk tokens done..done+c)
@@ -393,14 +436,12 @@ def prefill_chunk(params, tokens, done, chunk_len, k_pages, v_pages,
     segs = (q_seg, kv_seg, positions, kv_pos)
 
     def one_layer(x, w, kp, vp, kps, vps, window):
-        if post:
-            (wq, wk, wv, wo, wg, wu, wd, na, nm, npa, npm) = w
-        else:
-            (wq, wk, wv, wo, wg, wu, wd, na, nm) = w
+        (wq, wk, wv, wo, wg, wu, wd, na, nm, npa, npm, bq, bk, bv) = \
+            _unpack_layer(w, post, bias)
         h = _rmsnorm(x, na, cfg.norm_eps)
-        q = _mm(h, wq).reshape(b, c, cfg.n_heads, cfg.head_dim)
-        k = _mm(h, wk).reshape(b, c, cfg.n_kv_heads, cfg.head_dim)
-        v = _mm(h, wv).reshape(b, c, cfg.n_kv_heads, cfg.head_dim)
+        q = _proj(h, wq, bq).reshape(b, c, cfg.n_heads, cfg.head_dim)
+        k = _proj(h, wk, bk).reshape(b, c, cfg.n_kv_heads, cfg.head_dim)
+        v = _proj(h, wv, bv).reshape(b, c, cfg.n_kv_heads, cfg.head_dim)
         q = _rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
         k = _rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
 
@@ -567,16 +608,15 @@ def _decode_core(
         x = (x.astype(jnp.float32) * cfg.dim**0.5).astype(x.dtype)
     pos = (lengths - 1).astype(jnp.int32)  # 0-based position of this token
     post = cfg.post_norms
+    bias = "bq" in params
 
     def one_layer(x, w, kp, vp, kps, vps, window):
-        if post:
-            (wq, wk, wv, wo, wg, wu, wd, na, nm, npa, npm) = w
-        else:
-            (wq, wk, wv, wo, wg, wu, wd, na, nm) = w
+        (wq, wk, wv, wo, wg, wu, wd, na, nm, npa, npm, bq, bk, bv) = \
+            _unpack_layer(w, post, bias)
         h = _rmsnorm(x, na, cfg.norm_eps)
-        q = _mm(h, wq).reshape(b, 1, cfg.n_heads, cfg.head_dim)
-        k = _mm(h, wk).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
-        v = _mm(h, wv).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
+        q = _proj(h, wq, bq).reshape(b, 1, cfg.n_heads, cfg.head_dim)
+        k = _proj(h, wk, bk).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
+        v = _proj(h, wv, bv).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
         q = _rope(q, pos[:, None], cfg.rope_theta,
                   cfg.rope_scaling)[:, 0]  # (b, H, hd)
         k = _rope(k, pos[:, None], cfg.rope_theta,

@@ -55,6 +55,11 @@ def param_specs() -> dict:
         # tree_specs only looks up keys that exist)
         "norm_post_attn": P(),
         "norm_post_mlp": P(),
+        # Qwen-2 QKV biases: column-parallel like their projections' output
+        # dim (absent from bias-free param trees)
+        "bq": P(None, "model"),
+        "bk": P(None, "model"),
+        "bv": P(None, "model"),
         "norm_out": P(),
         "lm_head": P(),
     }

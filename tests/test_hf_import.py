@@ -193,3 +193,61 @@ def test_llama31_generation_matches_hf(hf_llama31):
     req = eng.add_request([int(t) for t in prompt[0]], max_new_tokens=6)
     eng.run()
     assert req.output == hf_new, (req.output, hf_new)
+
+
+@pytest.fixture(scope="module")
+def hf_qwen2():
+    cfg = transformers.Qwen2Config(
+        vocab_size=128, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        max_position_embeddings=512, rms_norm_eps=1e-6, rope_theta=1e6,
+        tie_word_embeddings=False, sliding_window=None,
+    )
+    torch.manual_seed(5)
+    model = transformers.Qwen2ForCausalLM(cfg)
+    # HF initializes the QKV biases to zero, which would make a parity test
+    # blind to the bias path — randomize them so the test proves the biases
+    # are applied
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            if name.endswith("proj.bias"):
+                p.normal_(0.0, 0.5)
+    model.eval()
+    return model
+
+
+def test_qwen2_bias_logits_match_hf(hf_qwen2):
+    params, cfg = from_hf(hf_qwen2, dtype=jnp.float32)
+    assert cfg.attn_bias and "bq" in params
+    rng = np.random.default_rng(6)
+    toks = rng.integers(0, 128, size=(2, 37))
+    with torch.no_grad():
+        hf_logits = hf_qwen2(torch.from_numpy(toks)).logits.numpy()
+    logits, _, _ = llama.prefill(params, jnp.asarray(toks, jnp.int32), cfg)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits,
+                               rtol=2e-3, atol=2e-3)
+    # dropping the biases must change the numbers (the bias path is live)
+    import dataclasses
+    nobias_params = {k: v for k, v in params.items()
+                     if k not in ("bq", "bk", "bv")}
+    nobias = dataclasses.replace(cfg, attn_bias=False)
+    logits_nb, _, _ = llama.prefill(nobias_params,
+                                    jnp.asarray(toks, jnp.int32), nobias)
+    assert np.abs(np.asarray(logits_nb) - hf_logits).max() > 1e-2
+
+
+def test_qwen2_generation_matches_hf(hf_qwen2):
+    params, cfg = from_hf(hf_qwen2, dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(0, 128, size=(1, 15))
+    with torch.no_grad():
+        hf_out = hf_qwen2.generate(
+            torch.from_numpy(prompt), max_new_tokens=6, do_sample=False,
+            pad_token_id=0)
+    hf_new = hf_out[0, 15:].tolist()
+    from flash_attention_tpu.serving.engine import Engine
+    eng = Engine(cfg, params, total_pages=16, page_size=16, max_batch=2,
+                 max_seq_len=128, kv_dtype=jnp.float32)
+    req = eng.add_request([int(t) for t in prompt[0]], max_new_tokens=6)
+    eng.run()
+    assert req.output == hf_new, (req.output, hf_new)

@@ -115,3 +115,17 @@ def test_tp_chunked_prefill_engine_parity(params):
         outs.append(req.output)
     assert outs[0] == outs[1]
     assert eng.stats["prefill_chunks"] >= 3
+
+
+def test_tp_qwen2_bias_prefill_matches_single():
+    """Qwen-2 QKV biases are column-parallel: each shard adds only its slice
+    of the bias. TP prefill must match the single-device model bitwise-ish."""
+    cfg = llama.LlamaConfig.tiny_qwen2()
+    params = llama.init_params(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
+    assert "bq" in params
+    mesh = _mesh(2)
+    toks = (jnp.arange(24, dtype=jnp.int32)[None] * 5) % cfg.vocab_size
+    logits, _, _ = llama.prefill(params, toks, cfg)
+    tlogits, _, _ = tp_prefill(params, toks, cfg=cfg, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(tlogits), np.asarray(logits),
+                               rtol=2e-4, atol=2e-4)

@@ -139,9 +139,6 @@ class Engine:
                 raise ValueError("prefix caching with chunked prefill is "
                                  "not supported; the prefix path already "
                                  "prefills in one suffix chunk")
-            if mesh is not None:
-                raise ValueError("prefix caching with tensor parallelism is "
-                                 "not supported yet")
             from flash_attention_tpu.serving.prefix import PrefixCache
             self.prefix = PrefixCache(self.rt, page_size)
         self.sched = Scheduler(self.rt, max_batch=max_batch,
@@ -198,9 +195,6 @@ class Engine:
         if self.spec:
             if n_draft < 1:
                 raise ValueError("n_draft must be >= 1")
-            if mesh is not None:
-                raise ValueError("speculative decoding with tensor "
-                                 "parallelism is not supported yet")
             if chunk_size is not None:
                 raise ValueError("speculative decoding with chunked prefill "
                                  "is not supported yet")
@@ -216,6 +210,15 @@ class Engine:
                 raise ValueError(
                     f"draft vocab {draft_cfg.vocab_size} != target vocab "
                     f"{cfg.vocab_size}")
+            if mesh is not None:
+                # shard the draft model like the target (column/row parallel
+                # weights; its kv heads must also divide the mesh axis)
+                from jax.sharding import NamedSharding
+                from flash_attention_tpu.parallel import tp_inference as tpi
+                dspecs = tpi.tree_specs(draft_params)
+                self.draft_params = jax.tree.map(
+                    lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
+                    draft_params, dspecs)
             Ld, hkd, hdd = (draft_cfg.n_layers, draft_cfg.n_kv_heads,
                             draft_cfg.head_dim)
             self.k_pages_d = jnp.zeros((Ld, hkd, total_pages, page_size, hdd),
@@ -391,8 +394,15 @@ class Engine:
         if self.spec:
             # the draft model mirrors the target's context in its own page
             # arrays (same page ids — the allocator is shared)
-            _, ks_d, vs_d = llama.prefill(self.draft_params, tokens,
-                                          self.draft_cfg)
+            if self.mesh is not None:
+                from flash_attention_tpu.parallel.tp_inference import \
+                    tp_prefill
+                _, ks_d, vs_d = tp_prefill(self.draft_params, tokens,
+                                           cfg=self.draft_cfg,
+                                           mesh=self.mesh, axis=self.tp_axis)
+            else:
+                _, ks_d, vs_d = llama.prefill(self.draft_params, tokens,
+                                              self.draft_cfg)
             (self.k_pages_d, self.v_pages_d, self.k_scales_d,
              self.v_scales_d) = llama.write_prefill_to_pages(
                 self.k_pages_d, self.v_pages_d, (ks_d, vs_d),
@@ -445,7 +455,15 @@ class Engine:
         args = (jnp.asarray(toks), jnp.asarray(done), jnp.asarray(clen),
                 self.k_pages, self.v_pages, self.k_scales, self.v_scales,
                 jnp.asarray(tables))
-        logits, ks, vs = llama.prefill_chunk(self.params, *args, self.cfg)
+        if self.mesh is not None:
+            from flash_attention_tpu.parallel.tp_inference import \
+                tp_prefill_chunk
+            logits, ks, vs = tp_prefill_chunk(self.params, *args,
+                                              cfg=self.cfg, mesh=self.mesh,
+                                              axis=self.tp_axis)
+        else:
+            logits, ks, vs = llama.prefill_chunk(self.params, *args,
+                                                 self.cfg)
         # scatter the suffix K/V: chunk-local page j of row i lands at the
         # row's global page done//ps + j (done is page-aligned); N pads to
         # pow2 aimed at the trash page to bound the compile count
@@ -477,10 +495,18 @@ class Engine:
             # adopted pages hold the DRAFT model's prefix KV too (written
             # when the prefix was first prefilled), so the draft skips the
             # same cached tokens
-            _, ks_d, vs_d = llama.prefill_chunk(
-                self.draft_params, args[0], args[1], args[2],
-                self.k_pages_d, self.v_pages_d, self.k_scales_d,
-                self.v_scales_d, args[7], self.draft_cfg)
+            dargs = (args[0], args[1], args[2], self.k_pages_d,
+                     self.v_pages_d, self.k_scales_d, self.v_scales_d,
+                     args[7])
+            if self.mesh is not None:
+                from flash_attention_tpu.parallel.tp_inference import \
+                    tp_prefill_chunk
+                _, ks_d, vs_d = tp_prefill_chunk(
+                    self.draft_params, *dargs, cfg=self.draft_cfg,
+                    mesh=self.mesh, axis=self.tp_axis)
+            else:
+                _, ks_d, vs_d = llama.prefill_chunk(self.draft_params,
+                                                    *dargs, self.draft_cfg)
             (self.k_pages_d, self.v_pages_d, self.k_scales_d,
              self.v_scales_d) = llama.write_prefill_to_pages(
                 self.k_pages_d, self.v_pages_d, (ks_d, vs_d), dest, src_row,
@@ -703,11 +729,18 @@ class Engine:
         temps_j, seeds_j, pos_j = (jnp.asarray(temps), jnp.asarray(seeds),
                                    jnp.asarray(pos))
         # [1/3] draft proposal rollout (one dispatch, updates the draft cache)
-        (d_toks, d_logits, self.k_pages_d, self.v_pages_d, self.k_scales_d,
-         self.v_scales_d) = spec_mod.draft_rollout(
-            self.draft_params, self.k_pages_d, self.v_pages_d,
-            self.k_scales_d, self.v_scales_d, tok, lens_j, tables_j,
-            temps_j, seeds_j, pos_j, self.draft_cfg, g)
+        rollout_args = (self.draft_params, self.k_pages_d, self.v_pages_d,
+                        self.k_scales_d, self.v_scales_d, tok, lens_j,
+                        tables_j, temps_j, seeds_j, pos_j)
+        if self.mesh is not None:
+            (d_toks, d_logits, self.k_pages_d, self.v_pages_d,
+             self.k_scales_d, self.v_scales_d) = spec_mod.tp_draft_rollout(
+                *rollout_args, cfg=self.draft_cfg, n_draft=g,
+                mesh=self.mesh, axis=self.tp_axis)
+        else:
+            (d_toks, d_logits, self.k_pages_d, self.v_pages_d,
+             self.k_scales_d, self.v_scales_d) = spec_mod.draft_rollout(
+                *rollout_args, self.draft_cfg, g)
         # [2/3] target verification: score [fed token || g proposals] in one
         # chunk dispatch; prefix-table width rounds to pow2 (trash-padded) so
         # compile count stays logarithmic in context length
@@ -719,9 +752,17 @@ class Engine:
         ptab = np.full((bsz, npp), self.trash_page, np.int32)
         w = min(npp, self.pages_per_seq)
         ptab[:, :w] = tables[:, :w]
-        logits, ks, vs = llama.prefill_chunk(
-            self.params, chunk, lens_j - 1, clen, self.k_pages, self.v_pages,
-            self.k_scales, self.v_scales, jnp.asarray(ptab), self.cfg)
+        verify_args = (chunk, lens_j - 1, clen, self.k_pages, self.v_pages,
+                       self.k_scales, self.v_scales, jnp.asarray(ptab))
+        if self.mesh is not None:
+            from flash_attention_tpu.parallel.tp_inference import \
+                tp_prefill_chunk
+            logits, ks, vs = tp_prefill_chunk(
+                self.params, *verify_args, cfg=self.cfg, mesh=self.mesh,
+                axis=self.tp_axis)
+        else:
+            logits, ks, vs = llama.prefill_chunk(self.params, *verify_args,
+                                                 self.cfg)
         # commit the chunk K/V at token granularity (rejected-tail writes
         # land in the row's own reserved-not-committed slots, rewritten
         # before any read grows over them)

@@ -25,9 +25,7 @@ from flash_attention_tpu.models import llama
 from flash_attention_tpu.serving import sampling
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_draft", "tp_axis"),
-                   donate_argnums=(1, 2, 3, 4))
-def draft_rollout(
+def _rollout_body(
     params,
     k_pages,       # draft-model paged cache (L_d, hk_d, P, ps, hd_d) — donated
     v_pages,
@@ -88,3 +86,43 @@ def draft_rollout(
         step, carry, jnp.arange(n_draft + 1, dtype=jnp.int32))
     return (toks[:n_draft].T, jnp.swapaxes(logs[:n_draft], 0, 1),
             k_pages, v_pages, k_scales, v_scales)
+
+
+draft_rollout = functools.partial(
+    jax.jit, static_argnames=("cfg", "n_draft", "tp_axis"),
+    donate_argnums=(1, 2, 3, 4))(_rollout_body)
+
+
+def tp_draft_rollout(params, k_pages, v_pages, k_scales, v_scales, tokens,
+                     lengths, page_tables, temps, seeds, positions, *,
+                     cfg: llama.LlamaConfig, n_draft: int, mesh,
+                     axis: str = "model"):
+    """Tensor-parallel draft rollout: the scan body's decode core runs
+    kv-head-local with two psums per layer (like ``tp_decode_step``), so the
+    post-psum logits are replicated and every shard draws the SAME draft
+    token — the sampled carry stays consistent across shards without extra
+    communication."""
+    from jax.sharding import PartitionSpec as P
+    from flash_attention_tpu.parallel.tp_inference import (local_config,
+                                                           tree_specs)
+    tp = mesh.shape[axis]
+    cfg_local = local_config(cfg, tp)
+    pspecs = tree_specs(params)
+    cache_spec = P(None, axis, None, None, None)
+    scale_spec = cache_spec if k_scales is not None else None
+    rep = P()
+
+    def body(params, kp, vp, kps, vps, tokens, lengths, tables, temps,
+             seeds, positions):
+        return _rollout_body(params, kp, vp, kps, vps, tokens, lengths,
+                             tables, temps, seeds, positions, cfg_local,
+                             n_draft, tp_axis=axis)
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(pspecs, cache_spec, cache_spec, scale_spec, scale_spec,
+                  rep, rep, rep, rep, rep, rep),
+        out_specs=(rep, rep, cache_spec, cache_spec, scale_spec, scale_spec),
+        check_vma=False,
+    )(params, k_pages, v_pages, k_scales, v_scales, tokens, lengths,
+      page_tables, temps, seeds, positions)

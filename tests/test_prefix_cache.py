@@ -266,3 +266,30 @@ def test_prefix_rejects_incompatible_modes(params):
         Engine(CFG, params, total_pages=32, page_size=16, max_batch=2,
                max_seq_len=128, kv_dtype=jnp.float32, prefix_cache=True,
                chunk_size=16)
+
+
+def test_prefix_engine_tensor_parallel_matches_single(params):
+    """Prefix caching under a 2-way TP mesh: adopted pages are kv-head-
+    sharded like the rest of the cache; generations and reuse accounting
+    match the single-device prefix engine exactly."""
+    from jax.sharding import Mesh
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = Mesh(np.asarray(jax.devices()[:2]), axis_names=("model",))
+    rng = np.random.default_rng(6)
+    prompts = _mk_prompts(rng, 48, (3, 9))
+
+    def gen(mesh_):
+        eng = Engine(CFG, params, total_pages=64, page_size=16, max_batch=2,
+                     max_seq_len=128, kv_dtype=jnp.float32, mesh=mesh_,
+                     prefix_cache=True)
+        outs = []
+        for p in prompts:  # sequential so the second adopts the prefix
+            r = eng.add_request(p, max_new_tokens=5)
+            eng.run()
+            assert r.error is None
+            outs.append(r.output)
+        assert eng.stats["prefix_reused_tokens"] == 48 // 16 * 16
+        return outs
+
+    assert gen(mesh) == gen(None)

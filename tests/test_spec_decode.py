@@ -297,3 +297,30 @@ def test_spec_engine_rejects_filters_and_bad_configs(params, draft_params):
         Engine(CFG, params, total_pages=32, page_size=16, max_batch=2,
                max_seq_len=128, kv_dtype=jnp.float32, draft_cfg=bad,
                draft_params=draft_params, n_draft=2)
+
+
+def test_spec_engine_tensor_parallel_matches_single(params, draft_params):
+    """Speculative decoding under a 2-way TP mesh: the rollout's decode core
+    runs kv-head-local with replicated post-psum logits (every shard draws
+    the same draft token), verification goes through tp_prefill_chunk, and
+    the generations match the single-device spec engine exactly."""
+    from jax.sharding import Mesh
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = Mesh(np.asarray(jax.devices()[:2]), axis_names=("model",))
+    rng = np.random.default_rng(5)
+    prompts = [list(map(int, rng.integers(0, 255, size=n)))
+               for n in (8, 21)]
+
+    def gen(mesh_):
+        eng = Engine(CFG, params, total_pages=64, page_size=16, max_batch=2,
+                     max_seq_len=128, kv_dtype=jnp.float32, mesh=mesh_,
+                     draft_cfg=DRAFT_CFG, draft_params=draft_params,
+                     n_draft=2)
+        reqs = [eng.add_request(p, max_new_tokens=7, temperature=0.8,
+                                seed=40 + i) for i, p in enumerate(prompts)]
+        eng.run()
+        assert all(r.error is None for r in reqs)
+        return [r.output for r in reqs]
+
+    assert gen(mesh) == gen(None)

@@ -32,6 +32,7 @@ from flash_attention_tpu.ops.attention import fwd as _flash_fwd_api
 from flash_attention_tpu.ops.paged_attention import paged_attention
 from flash_attention_tpu.ops.quant import (QuantizedTensor, quantize_int4,
                                            quantize_int8, quantized_matmul)
+from flash_attention_tpu.models import lora as lora_mod
 
 
 @dataclasses.dataclass(frozen=True)
@@ -267,21 +268,29 @@ def _layer_weights(params):
         names += ("norm_post_attn", "norm_post_mlp")
     if "bq" in params:
         names += ("bq", "bk", "bv")  # Qwen-2 QKV biases (attn_bias)
-    return tuple(params[n] for n in names)
+    out = tuple(params[n] for n in names)
+    if "lora" in params:
+        # stacked multi-LoRA adapters {target: (A (L, slots, din, r),
+        # B (L, slots, r, dout))} — ride the same scan as the weights
+        out += (params["lora"],)
+    return out
 
 
-def _unpack_layer(w, post: bool, bias: bool):
-    """Split a _layer_weights tuple into its 14 possible slots (absent
+def _unpack_layer(w, post: bool, bias: bool, lora: bool = False):
+    """Split a _layer_weights tuple into its 15 possible slots (absent
     optional entries come back None): wq wk wv wo wg wu wd na nm npa npm
-    bq bk bv. One helper so the three forward paths cannot drift."""
+    bq bk bv lr. One helper so the three forward paths cannot drift."""
     core, off = w[:9], 9
-    npa = npm = bq = bk = bv = None
+    npa = npm = bq = bk = bv = lr = None
     if post:
         npa, npm = w[off:off + 2]
         off += 2
     if bias:
         bq, bk, bv = w[off:off + 3]
-    return (*core, npa, npm, bq, bk, bv)
+        off += 3
+    if lora:
+        lr = w[off]
+    return (*core, npa, npm, bq, bk, bv, lr)
 
 
 def _proj(h, w, b):
@@ -307,7 +316,7 @@ def _group_layers(tree, period: int):
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "tp_axis", "kv_fake_quant"))
 def prefill(params, tokens, cfg: LlamaConfig, tp_axis: str | None = None,
-            kv_fake_quant=None):
+            kv_fake_quant=None, lora_ids=None):
     """Full-prompt forward. tokens: (b, s) int32.
 
     Returns (logits (b, s, vocab), k_cache (L, b, s, hk, hd), v_cache same).
@@ -327,14 +336,22 @@ def prefill(params, tokens, cfg: LlamaConfig, tp_axis: str | None = None,
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
     post = cfg.post_norms
     bias = "bq" in params
+    has_lora = "lora" in params
+    if has_lora and lora_ids is None:
+        raise ValueError("params carry LoRA stacks but no lora_ids given")
 
     def one_layer(x, w, window):
-        (wq, wk, wv, wo, wg, wu, wd, na, nm, npa, npm, bq, bk, bv) = \
-            _unpack_layer(w, post, bias)
+        (wq, wk, wv, wo, wg, wu, wd, na, nm, npa, npm, bq, bk, bv, lr) = \
+            _unpack_layer(w, post, bias, has_lora)
+
+        def lproj(hh, ww, bb, name):
+            out = _proj(hh, ww, bb)
+            d = lora_mod.delta(hh, lr, name, lora_ids)
+            return out if d is None else out + d
         h = _rmsnorm(x, na, cfg.norm_eps)
-        q = _proj(h, wq, bq).reshape(b, s, cfg.n_heads, cfg.head_dim)
-        k = _proj(h, wk, bk).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
-        v = _proj(h, wv, bv).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+        q = lproj(h, wq, bq, "wq").reshape(b, s, cfg.n_heads, cfg.head_dim)
+        k = lproj(h, wk, bk, "wk").reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+        v = lproj(h, wv, bv, "wv").reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
         q = _rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
         k = _rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
         if kv_fake_quant is not None:
@@ -345,13 +362,15 @@ def prefill(params, tokens, cfg: LlamaConfig, tp_axis: str | None = None,
         win = None if window is None else (window - 1, 0)
         o = flash_attention(q, k, v, causal=True, window_size=win,
                             softcap=cfg.attn_softcap, sm_scale=cfg.sm_scale)
-        attn = _maybe_psum(_mm(o.reshape(b, s, -1), wo), tp_axis)
+        attn = _maybe_psum(lproj(o.reshape(b, s, -1), wo, None, "wo"),
+                           tp_axis)
         if post:  # sandwich norm AFTER the TP psum (norm is nonlinear)
             attn = _rmsnorm(attn, npa, cfg.norm_eps)
         x = x + attn
         h = _rmsnorm(x, nm, cfg.norm_eps)
-        mlp = _mm(_act(_mm(h, wg), cfg.act).astype(x.dtype)
-                  * _mm(h, wu), wd)
+        mlp = lproj(_act(lproj(h, wg, None, "w_gate"), cfg.act)
+                    .astype(x.dtype) * lproj(h, wu, None, "w_up"),
+                    wd, None, "w_down")
         mlp = _maybe_psum(mlp, tp_axis)
         if post:
             mlp = _rmsnorm(mlp, npm, cfg.norm_eps)
@@ -391,7 +410,7 @@ def prefill(params, tokens, cfg: LlamaConfig, tp_axis: str | None = None,
 @functools.partial(jax.jit, static_argnames=("cfg", "tp_axis"))
 def prefill_chunk(params, tokens, done, chunk_len, k_pages, v_pages,
                   k_scales, v_scales, prefix_tables, cfg: LlamaConfig,
-                  tp_axis: str | None = None):
+                  tp_axis: str | None = None, lora_ids=None):
     """One chunk of a chunked prefill (bounded time-to-first-token).
 
     Processes ``tokens`` (b, c) — the next ``chunk_len[i]`` prompt tokens of
@@ -422,6 +441,9 @@ def prefill_chunk(params, tokens, done, chunk_len, k_pages, v_pages,
     positions = done[:, None] + jnp.arange(c, dtype=jnp.int32)[None, :]
     post = cfg.post_norms
     bias = "bq" in params
+    has_lora = "lora" in params
+    if has_lora and lora_ids is None:
+        raise ValueError("params carry LoRA stacks but no lora_ids given")
 
     # segment/position metadata for the segmented flash path:
     # kv = [prefix tokens 0..pref) || chunk tokens done..done+c)
@@ -436,12 +458,17 @@ def prefill_chunk(params, tokens, done, chunk_len, k_pages, v_pages,
     segs = (q_seg, kv_seg, positions, kv_pos)
 
     def one_layer(x, w, kp, vp, kps, vps, window):
-        (wq, wk, wv, wo, wg, wu, wd, na, nm, npa, npm, bq, bk, bv) = \
-            _unpack_layer(w, post, bias)
+        (wq, wk, wv, wo, wg, wu, wd, na, nm, npa, npm, bq, bk, bv, lr) = \
+            _unpack_layer(w, post, bias, has_lora)
+
+        def lproj(hh, ww, bb, name):
+            out = _proj(hh, ww, bb)
+            d = lora_mod.delta(hh, lr, name, lora_ids)
+            return out if d is None else out + d
         h = _rmsnorm(x, na, cfg.norm_eps)
-        q = _proj(h, wq, bq).reshape(b, c, cfg.n_heads, cfg.head_dim)
-        k = _proj(h, wk, bk).reshape(b, c, cfg.n_kv_heads, cfg.head_dim)
-        v = _proj(h, wv, bv).reshape(b, c, cfg.n_kv_heads, cfg.head_dim)
+        q = lproj(h, wq, bq, "wq").reshape(b, c, cfg.n_heads, cfg.head_dim)
+        k = lproj(h, wk, bk, "wk").reshape(b, c, cfg.n_kv_heads, cfg.head_dim)
+        v = lproj(h, wv, bv, "wv").reshape(b, c, cfg.n_kv_heads, cfg.head_dim)
         q = _rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
         k = _rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
 
@@ -466,12 +493,15 @@ def prefill_chunk(params, tokens, done, chunk_len, k_pages, v_pages,
         o, _ = _flash_fwd_api(q, kcat, vcat, is_causal=True, segs=segs,
                               window_size=win, softcap=cfg.attn_softcap,
                               sm_scale=cfg.sm_scale)
-        attn = _maybe_psum(_mm(o.reshape(b, c, -1), wo), tp_axis)
+        attn = _maybe_psum(lproj(o.reshape(b, c, -1), wo, None, "wo"),
+                           tp_axis)
         if post:
             attn = _rmsnorm(attn, npa, cfg.norm_eps)
         x = x + attn
         h = _rmsnorm(x, nm, cfg.norm_eps)
-        mlp = _mm(_act(_mm(h, wg), cfg.act).astype(x.dtype) * _mm(h, wu), wd)
+        mlp = lproj(_act(lproj(h, wg, None, "w_gate"), cfg.act)
+                    .astype(x.dtype) * lproj(h, wu, None, "w_up"),
+                    wd, None, "w_down")
         mlp = _maybe_psum(mlp, tp_axis)
         if post:
             mlp = _rmsnorm(mlp, npm, cfg.norm_eps)
@@ -579,6 +609,7 @@ def decode_step(
     write_off,     # (b,) int32 — offset within that page
     cfg: LlamaConfig,
     tp_axis: str | None = None,
+    lora_ids=None,  # (b,) int32 adapter slot per row when params carry LoRA
 ):
     """One decode token for a batch of sequences against the paged cache.
 
@@ -590,13 +621,13 @@ def decode_step(
     """
     return _decode_core(params, k_pages, v_pages, k_scales, v_scales,
                         tokens, lengths, page_tables, write_page, write_off,
-                        cfg, tp_axis)
+                        cfg, tp_axis, lora_ids)
 
 
 def _decode_core(
     params, k_pages, v_pages, k_scales, v_scales, tokens, lengths,
     page_tables, write_page, write_off, cfg: LlamaConfig,
-    tp_axis: str | None = None,
+    tp_axis: str | None = None, lora_ids=None,
 ):
     """Unjitted decode-step body, shared between ``decode_step`` (one jitted
     token) and ``draft_rollout`` (a ``lax.scan`` of draft-model tokens inside
@@ -609,14 +640,22 @@ def _decode_core(
     pos = (lengths - 1).astype(jnp.int32)  # 0-based position of this token
     post = cfg.post_norms
     bias = "bq" in params
+    has_lora = "lora" in params
+    if has_lora and lora_ids is None:
+        raise ValueError("params carry LoRA stacks but no lora_ids given")
 
     def one_layer(x, w, kp, vp, kps, vps, window):
-        (wq, wk, wv, wo, wg, wu, wd, na, nm, npa, npm, bq, bk, bv) = \
-            _unpack_layer(w, post, bias)
+        (wq, wk, wv, wo, wg, wu, wd, na, nm, npa, npm, bq, bk, bv, lr) = \
+            _unpack_layer(w, post, bias, has_lora)
+
+        def lproj(hh, ww, bb, name):
+            out = _proj(hh, ww, bb)
+            d = lora_mod.delta(hh, lr, name, lora_ids)
+            return out if d is None else out + d
         h = _rmsnorm(x, na, cfg.norm_eps)
-        q = _proj(h, wq, bq).reshape(b, 1, cfg.n_heads, cfg.head_dim)
-        k = _proj(h, wk, bk).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
-        v = _proj(h, wv, bv).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
+        q = lproj(h, wq, bq, "wq").reshape(b, 1, cfg.n_heads, cfg.head_dim)
+        k = lproj(h, wk, bk, "wk").reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
+        v = lproj(h, wv, bv, "wv").reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
         q = _rope(q, pos[:, None], cfg.rope_theta,
                   cfg.rope_scaling)[:, 0]  # (b, H, hd)
         k = _rope(k, pos[:, None], cfg.rope_theta,
@@ -635,13 +674,15 @@ def _decode_core(
                             lengths, page_tables, k_scales=kps, v_scales=vps,
                             window=window, softcap=cfg.attn_softcap,
                             sm_scale=cfg.sm_scale)
-        attn = _maybe_psum(_mm(o.reshape(b, -1), wo), tp_axis)
+        attn = _maybe_psum(lproj(o.reshape(b, -1), wo, None, "wo"),
+                           tp_axis)
         if post:
             attn = _rmsnorm(attn, npa, cfg.norm_eps)
         x = x + attn
         h = _rmsnorm(x, nm, cfg.norm_eps)
-        mlp = _mm(_act(_mm(h, wg), cfg.act).astype(x.dtype)
-                  * _mm(h, wu), wd)
+        mlp = lproj(_act(lproj(h, wg, None, "w_gate"), cfg.act)
+                    .astype(x.dtype) * lproj(h, wu, None, "w_up"),
+                    wd, None, "w_down")
         mlp = _maybe_psum(mlp, tp_axis)
         if post:
             mlp = _rmsnorm(mlp, npm, cfg.norm_eps)

@@ -54,6 +54,9 @@ class Engine:
         draft_params=None,
         n_draft: int = 4,
         prefix_cache: bool = False,
+        lora_rank: int | None = None,
+        lora_targets: tuple = ("wq", "wk", "wv", "wo"),
+        max_loras: int = 8,
     ):
         self.cfg = cfg
         self.params = params
@@ -228,17 +231,77 @@ class Engine:
                 self.k_scales_d = jnp.ones((Ld, hkd, total_pages, 8, 128),
                                            jnp.float32)
                 self.v_scales_d = jnp.ones_like(self.k_scales_d)
+        # Multi-LoRA serving (beyond-reference): per-request low-rank
+        # adapters over one base model. Adapters live in fixed-capacity
+        # stacks (slot 0 = the base model) riding the layer scan; each
+        # batch row carries its adapter slot id, so one jitted dispatch
+        # serves a mixed-adapter batch. See models/lora.py.
+        self.lora_rank = lora_rank
+        self.lora_targets = tuple(lora_targets)
+        self.lora_stacks = None
+        self._lora_map: dict = {None: 0}
+        if lora_rank is not None:
+            if mesh is not None:
+                raise ValueError("multi-LoRA with tensor parallelism is not "
+                                 "supported yet")
+            if self.spec:
+                raise ValueError("multi-LoRA with speculative decoding is "
+                                 "not supported yet")
+            from flash_attention_tpu.models import lora as lora_lib
+            self._lora_lib = lora_lib
+            self.lora_stacks = lora_lib.stack_adapters(
+                cfg, [], lora_rank, self.lora_targets, n_slots=max_loras + 1,
+                dtype=params["embed"].dtype)
         self._uid = 0
         self.stats = {"decode_steps": 0, "decode_tokens": 0,
                       "prefill_tokens": 0, "prefill_dispatches": 0,
                       "decode_time": 0.0, "prefill_time": 0.0,
                       "spec_steps": 0, "spec_proposed": 0, "spec_accepted": 0}
 
+    # ----------------------------------------------------------------- lora
+    def add_adapter(self, name: str, adapter) -> int:
+        """Register a LoRA adapter ({target: (A (L, din, r), B (L, r,
+        dout))}, e.g. models.lora.init_adapter) under ``name``; requests
+        select it with add_request(..., lora=name). Writes a stack slot —
+        the jitted step's shapes never change. Returns the slot id."""
+        if self.lora_rank is None:
+            raise ValueError("engine built without lora_rank")
+        if name in self._lora_map:
+            raise ValueError(f"adapter {name!r} already registered")
+        slot = len(self._lora_map)
+        n_slots = self.lora_stacks[self.lora_targets[0]][0].shape[1]
+        if slot >= n_slots:
+            raise ValueError(f"adapter capacity {n_slots - 1} exhausted")
+        for t in adapter:
+            if t not in self.lora_targets:
+                raise ValueError(f"adapter targets {t!r}; engine was built "
+                                 f"for {self.lora_targets}")
+        self.lora_stacks = self._lora_lib.set_slot(
+            self.lora_stacks, slot, adapter, self.lora_targets)
+        self._lora_map[name] = slot
+        return slot
+
+    def _model_params(self):
+        """Params as dispatched: base weights plus the LoRA stacks."""
+        if self.lora_stacks is None:
+            return self.params
+        return {**self.params, "lora": self.lora_stacks}
+
+    def _lora_ids(self, reqs: list[Request], bsz: int):
+        """(bsz,) adapter slot per row (padding rows = base model), or None
+        when the engine has no LoRA."""
+        if self.lora_stacks is None:
+            return None
+        ids = np.zeros((bsz,), np.int32)
+        for i, r in enumerate(reqs):
+            ids[i] = r.lora_id
+        return jnp.asarray(ids)
+
     # ------------------------------------------------------------- requests
     def add_request(self, prompt: list[int], max_new_tokens: int,
                     eos_id: int | None = None, *, temperature: float = 0.0,
                     top_k: int = 0, top_p: float = 1.0,
-                    seed: int = 0) -> Request:
+                    seed: int = 0, lora: str | None = None) -> Request:
         total = len(prompt) + max_new_tokens
         if self.spec:
             if top_k > 0 or top_p < 1.0:
@@ -270,10 +333,13 @@ class Engine:
             raise ValueError(
                 f"request needs {need} pages but the pool can ever free at "
                 f"most {budget}; it would wait forever")
+        if lora is not None and lora not in self._lora_map:
+            raise ValueError(f"unknown adapter {lora!r}; register it with "
+                             f"add_adapter first")
         self._uid += 1
         req = Request(self._uid, list(prompt), max_new_tokens, eos_id=eos_id,
                       temperature=temperature, top_k=top_k, top_p=top_p,
-                      seed=seed)
+                      seed=seed, lora_id=self._lora_map.get(lora, 0))
         self.sched.add(req)
         return req
 
@@ -311,12 +377,14 @@ class Engine:
         registry-only cached pages can be evicted to make room (LRU,
         excluding the pages this very request is about to adopt)."""
         cap = req.context_len - 1  # >= 1 suffix token for its logits
-        shared = len(self.prefix.lookup(req.prompt, cap))
+        shared = len(self.prefix.lookup(req.prompt, cap,
+                                        salt=req.lora_id))
         need = (-(-(req.context_len + 1) // self.page_size) - shared
                 + self.sched.reserve_pages)
         shortfall = need - self.rt.free_pages()
         if shortfall > 0:
-            keep = self.prefix.keep_set(req.prompt, cap)
+            keep = self.prefix.keep_set(req.prompt, cap,
+                                        salt=req.lora_id)
             if self.prefix.evict(shortfall, keep=keep) < shortfall:
                 return False
         return self.rt.can_admit(req.context_len + 1 -
@@ -324,7 +392,8 @@ class Engine:
                                  self.sched.reserve_pages)
 
     def _prefix_alloc(self, req: Request) -> int:
-        pages = self.prefix.lookup(req.prompt, req.context_len - 1)
+        pages = self.prefix.lookup(req.prompt, req.context_len - 1,
+                                   salt=req.lora_id)
         slot = self.rt.seq_alloc_prefixed(req.context_len, pages)
         if slot >= 0:
             req.cached_tokens = len(pages) * self.page_size
@@ -363,7 +432,9 @@ class Engine:
             logits, ks, vs = tp_prefill(self.params, tokens, cfg=self.cfg,
                                         mesh=self.mesh, axis=self.tp_axis)
         else:
-            logits, ks, vs = llama.prefill(self.params, tokens, self.cfg)
+            logits, ks, vs = llama.prefill(
+                self._model_params(), tokens, self.cfg,
+                lora_ids=self._lora_ids(reqs, bsz))
         # ONE page-granular scatter for every (request, page) pair admitted
         # this step (round 2 issued one .at[].set chain per request —
         # VERDICT r2 weak #7). N pads to pow2 aimed at the trash page to
@@ -462,8 +533,9 @@ class Engine:
                                               cfg=self.cfg, mesh=self.mesh,
                                               axis=self.tp_axis)
         else:
-            logits, ks, vs = llama.prefill_chunk(self.params, *args,
-                                                 self.cfg)
+            logits, ks, vs = llama.prefill_chunk(
+                self._model_params(), *args, self.cfg,
+                lora_ids=self._lora_ids(reqs, bsz))
         # scatter the suffix K/V: chunk-local page j of row i lands at the
         # row's global page done//ps + j (done is page-aligned); N pads to
         # pow2 aimed at the trash page to bound the compile count
@@ -518,7 +590,8 @@ class Engine:
             full = len(r.prompt) // ps
             if full:
                 self.prefix.register(
-                    r.prompt, self.rt.seq_page_table(r.slot, full, pad=-1))
+                    r.prompt, self.rt.seq_page_table(r.slot, full, pad=-1),
+                    salt=r.lora_id)
         last = jnp.asarray(np.maximum(clen - 1, 0), jnp.int32)
         rows = logits[jnp.arange(bsz), last]
         for req, tok in zip(reqs, self._sample_batch(reqs, rows)):
@@ -586,8 +659,9 @@ class Engine:
                     self.params, *args, cfg=self.cfg, mesh=self.mesh,
                     axis=self.tp_axis)
             else:
-                logits, ks, vs = llama.prefill_chunk(self.params, *args,
-                                                     self.cfg)
+                logits, ks, vs = llama.prefill_chunk(
+                    self._model_params(), *args, self.cfg,
+                    lora_ids=self._lora_ids(reqs, bsz))
             # scatter this chunk's whole pages (chunk_size % page_size == 0,
             # so chunk-local page j holds tokens [base + j*ps, ...))
             dest, src_row, src_page = [], [], []
@@ -676,8 +750,9 @@ class Engine:
         else:
             (logits, self.k_pages, self.v_pages, self.k_scales,
              self.v_scales) = llama.decode_step(
-                self.params, self.k_pages, self.v_pages, self.k_scales,
-                self.v_scales, *args, self.cfg)
+                self._model_params(), self.k_pages, self.v_pages,
+                self.k_scales, self.v_scales, *args, self.cfg,
+                lora_ids=self._lora_ids(reqs, bsz))
         out = self._sample_batch(reqs, logits)
         self.stats["decode_steps"] += 1
         self.stats["decode_tokens"] += n

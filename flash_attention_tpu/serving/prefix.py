@@ -34,11 +34,14 @@ class PrefixCache:
         self.by_digest: OrderedDict[bytes, int] = OrderedDict()
         self.evictions = 0
 
-    def _digests(self, prompt: list[int]):
+    def _digests(self, prompt: list[int], salt: int = 0):
         """Chain digests of the prompt's FULL pages (partial tail excluded:
         a partially-filled page is written by later prefill/decode steps and
-        must stay private to its sequence)."""
-        h = b""
+        must stay private to its sequence). ``salt`` keys the whole chain —
+        multi-LoRA passes the adapter slot, because a page's KV depends on
+        the adapter's wk/wv deltas: the same prompt under different
+        adapters must NOT share pages."""
+        h = salt.to_bytes(8, "little", signed=True)
         for i in range(len(prompt) // self.ps):
             m = hashlib.blake2b(h, digest_size=16)
             m.update(np.asarray(prompt[i * self.ps: (i + 1) * self.ps],
@@ -46,7 +49,8 @@ class PrefixCache:
             h = m.digest()
             yield h
 
-    def lookup(self, prompt: list[int], max_tokens: int) -> list[int]:
+    def lookup(self, prompt: list[int], max_tokens: int,
+               salt: int = 0) -> list[int]:
         """Longest cached prefix as page ids, capped at ``max_tokens`` (the
         caller keeps at least one context token for the suffix dispatch —
         the last token's logits must be computed to sample from). Touches
@@ -54,7 +58,7 @@ class PrefixCache:
         are only guaranteed alive while their registry pins are."""
         max_pages = min(len(prompt), max_tokens) // self.ps
         pages = []
-        for i, d in enumerate(self._digests(prompt)):
+        for i, d in enumerate(self._digests(prompt, salt)):
             if i >= max_pages:
                 break
             page = self.by_digest.get(d)
@@ -64,12 +68,13 @@ class PrefixCache:
             pages.append(page)
         return pages
 
-    def register(self, prompt: list[int], page_table: list[int]) -> None:
+    def register(self, prompt: list[int], page_table: list[int],
+                 salt: int = 0) -> None:
         """Pin + index the prompt's full pages after prefill wrote their KV.
         ``page_table`` holds the sequence's pages positionally. Digests
         already present keep their existing page (first writer wins — both
         hold identical KV, and re-pointing would strand the old pin)."""
-        for i, d in enumerate(self._digests(prompt)):
+        for i, d in enumerate(self._digests(prompt, salt)):
             if d in self.by_digest:
                 self.by_digest.move_to_end(d)
                 continue
@@ -105,11 +110,12 @@ class PrefixCache:
             freed += 1
         return freed
 
-    def keep_set(self, prompt: list[int], max_tokens: int) -> set[bytes]:
+    def keep_set(self, prompt: list[int], max_tokens: int,
+                 salt: int = 0) -> set[bytes]:
         """Digests an imminent adoption of ``prompt`` would use (excluded
         from eviction between the admission check and the allocation)."""
         out, n = set(), min(len(prompt), max_tokens) // self.ps
-        for i, d in enumerate(self._digests(prompt)):
+        for i, d in enumerate(self._digests(prompt, salt)):
             if i >= n or d not in self.by_digest:
                 break
             out.add(d)

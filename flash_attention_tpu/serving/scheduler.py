@@ -41,6 +41,8 @@ class Request:
     # ADOPTED from the cache (page-aligned); prefill skips them. Set by the
     # engine's alloc hook at every (re-)admission.
     cached_tokens: int = 0
+    # Multi-LoRA: adapter stack slot (0 = base model).
+    lora_id: int = 0
 
     @property
     def done(self) -> bool:

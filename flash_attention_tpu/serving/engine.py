@@ -301,7 +301,8 @@ class Engine:
     def add_request(self, prompt: list[int], max_new_tokens: int,
                     eos_id: int | None = None, *, temperature: float = 0.0,
                     top_k: int = 0, top_p: float = 1.0,
-                    seed: int = 0, lora: str | None = None) -> Request:
+                    seed: int = 0, lora: str | None = None,
+                    stop_ids=()) -> Request:
         total = len(prompt) + max_new_tokens
         if self.spec:
             if top_k > 0 or top_p < 1.0:
@@ -339,7 +340,8 @@ class Engine:
         self._uid += 1
         req = Request(self._uid, list(prompt), max_new_tokens, eos_id=eos_id,
                       temperature=temperature, top_k=top_k, top_p=top_p,
-                      seed=seed, lora_id=self._lora_map.get(lora, 0))
+                      seed=seed, lora_id=self._lora_map.get(lora, 0),
+                      stop_ids=tuple(stop_ids))
         self.sched.add(req)
         return req
 
@@ -951,6 +953,21 @@ class Engine:
                     self.sched.finish(req)
                     finished.append(req)
         return finished
+
+    def stream(self, max_steps: int = 10_000):
+        """Token-level streaming: drive the engine and yield
+        ``(request, new_tokens, finished)`` after every step that emitted
+        tokens for a request (speculative steps may emit several at once).
+        A finished request is yielded exactly once with finished=True."""
+        seen: dict[int, int] = {}
+        while self.sched.has_work and max_steps > 0:
+            max_steps -= 1
+            done = self.step()
+            for req in list(self.sched.running) + done:
+                n = seen.get(req.uid, 0)
+                if len(req.output) > n or req in done:
+                    yield req, req.output[n:], req in done
+                    seen[req.uid] = len(req.output)
 
     def run(self, max_steps: int = 10_000) -> list[Request]:
         done = []

@@ -44,12 +44,16 @@ class Request:
     # Multi-LoRA: adapter stack slot (0 = base model).
     lora_id: int = 0
 
+    # Additional stop tokens beyond eos_id (tuple: Requests stay hashable
+    # and the set is usually tiny). Generation stops on ANY of them.
+    stop_ids: tuple = ()
+
     @property
     def done(self) -> bool:
         if self.error is not None:
             return True
-        if self.eos_id is not None and self.output and \
-                self.output[-1] == self.eos_id:
+        if self.output and (self.output[-1] == self.eos_id
+                            or self.output[-1] in self.stop_ids):
             return True
         return len(self.output) >= self.max_new_tokens
 

@@ -486,3 +486,38 @@ def test_engine_gemma2_generation_parity():
                                      jnp.asarray(toks, jnp.int32)[None], GCFG)
         toks.append(int(jnp.argmax(logits[0, -1])))
     assert req.output == toks[len(prompt):]
+
+
+def test_engine_stop_ids(params):
+    """Generation stops on ANY of the stop tokens, not only eos_id."""
+    probe = Engine(CFG, params, total_pages=32, page_size=16, max_batch=2,
+                   max_seq_len=128, kv_dtype=jnp.float32)
+    r0 = probe.add_request([1, 2, 3], max_new_tokens=8)
+    probe.run()
+    stop = r0.output[3]
+    eng = Engine(CFG, params, total_pages=32, page_size=16, max_batch=2,
+                 max_seq_len=128, kv_dtype=jnp.float32)
+    req = eng.add_request([1, 2, 3], max_new_tokens=8,
+                          stop_ids={stop, 99999})
+    eng.run()
+    assert req.output == r0.output[:4]
+
+
+def test_engine_stream_yields_every_token(params):
+    """stream() yields each request's tokens exactly once, in order, with
+    one finished=True event per request."""
+    eng = Engine(CFG, params, total_pages=64, page_size=16, max_batch=4,
+                 max_seq_len=128, kv_dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    reqs = [eng.add_request(list(map(int, rng.integers(0, 255, n))),
+                            max_new_tokens=m)
+            for n, m in ((5, 7), (19, 3))]
+    got = {r.uid: [] for r in reqs}
+    finished = []
+    for req, new, fin in eng.stream():
+        got[req.uid].extend(new)
+        if fin:
+            finished.append(req.uid)
+    assert sorted(finished) == sorted(r.uid for r in reqs)
+    for r in reqs:
+        assert got[r.uid] == r.output and len(r.output) == r.max_new_tokens

@@ -21,4 +21,11 @@ run bench_vs_xla     3600 python tools/bench_vs_xla.py
 run eval_quant       5400 python tools/eval_quant.py --layers 4 --dim 2048 \
     --hidden 5504 --heads 16 --kv-heads 16 --vocab 32000 --seqs 4 --seqlen 48
 run tune_small      10800 python tools/tune_small.py 512 1024 2048 4096
+# full kernel parity suite compiled on-chip (TPU_TEST_REPORT refresh incl.
+# the round-3 GQA x boundary matrix, window, softcap); engine/serving tests
+# stay CPU-side (host-logic, one compile per shape over the tunnel)
+run onchip_suite 21600 env FAT_TEST_BACKEND=tpu python -m pytest \
+    tests/test_flash_fwd.py tests/test_flash_bwd.py tests/test_varlen.py \
+    tests/test_window.py tests/test_softcap.py tests/test_paged_attention.py \
+    tests/test_quant.py tests/test_segments.py -q
 echo "=== batch done ($(date +%H:%M:%S)) ===" | tee -a onchip_logs/driver.log

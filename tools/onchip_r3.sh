@@ -27,5 +27,5 @@ run tune_small      10800 python tools/tune_small.py 512 1024 2048 4096
 run onchip_suite 21600 env FAT_TEST_BACKEND=tpu python -m pytest \
     tests/test_flash_fwd.py tests/test_flash_bwd.py tests/test_varlen.py \
     tests/test_window.py tests/test_softcap.py tests/test_paged_attention.py \
-    tests/test_quant.py tests/test_segments.py -q
+    tests/test_quant.py -q
 echo "=== batch done ($(date +%H:%M:%S)) ===" | tee -a onchip_logs/driver.log

@@ -314,9 +314,11 @@ def _group_layers(tree, period: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "tp_axis", "kv_fake_quant"))
+                   static_argnames=("cfg", "tp_axis", "kv_fake_quant",
+                                    "return_kv", "remat"))
 def prefill(params, tokens, cfg: LlamaConfig, tp_axis: str | None = None,
-            kv_fake_quant=None, lora_ids=None):
+            kv_fake_quant=None, lora_ids=None, return_kv: bool = True,
+            remat: bool = False):
     """Full-prompt forward. tokens: (b, s) int32.
 
     Returns (logits (b, s, vocab), k_cache (L, b, s, hk, hd), v_cache same).
@@ -395,16 +397,51 @@ def prefill(params, tokens, cfg: LlamaConfig, tp_axis: str | None = None,
         return x, (jnp.stack([kv[0] for kv in kvs]),
                    jnp.stack([kv[1] for kv in kvs]))
 
-    x, (ks, vs) = jax.lax.scan(
-        layer_group, x, _group_layers(_layer_weights(params), period))
-    if period > 1:  # (L/period, period, ...) -> (L, ...)
-        ks = ks.reshape(cfg.n_layers, *ks.shape[2:])
-        vs = vs.reshape(cfg.n_layers, *vs.shape[2:])
+    xs = _group_layers(_layer_weights(params), period)
+    if not return_kv:
+        # Training forward: the per-layer K/V outputs are dead (no cache to
+        # fill) and, with remat, nothing per-layer is saved at all — each
+        # layer's activations recompute from its carry during the backward
+        # pass, so activation memory is O(1) in depth instead of O(L)
+        # (jax.checkpoint around the scan body = remat-per-layer). The
+        # flash-attention kernel's own custom_vjp already recomputes
+        # attention internals, so the two compose into full
+        # FlashAttention-style training memory.
+        def body(x, wg):
+            return layer_group(x, wg)[0], None
+        x, _ = jax.lax.scan(jax.checkpoint(body) if remat else body, x, xs)
+        ks = vs = None
+    else:
+        x, (ks, vs) = jax.lax.scan(layer_group, x, xs)
+        if period > 1:  # (L/period, period, ...) -> (L, ...)
+            ks = ks.reshape(cfg.n_layers, *ks.shape[2:])
+            vs = vs.reshape(cfg.n_layers, *vs.shape[2:])
     x = _rmsnorm(x, params["norm_out"], cfg.norm_eps)
     logits = _mm(x, params["lm_head"]).astype(jnp.float32)
     if cfg.final_softcap is not None:
         logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
     return logits, ks, vs
+
+
+def train_loss(params, tokens, targets, cfg: LlamaConfig, *,
+               remat: bool = True, tp_axis: str | None = None):
+    """Mean next-token cross-entropy — the training entry point.
+
+    Differentiable end to end through the Pallas flash-attention custom_vjp;
+    ``remat=True`` (default) rematerializes each layer in the backward pass
+    (see ``prefill(return_kv=False, remat=True)``), trading one extra
+    forward of FLOPs for O(1)-in-depth activation memory — the standard
+    long-context training trade on HBM-bound TPUs. ``targets`` (b, s) int32
+    with -100 = ignore. Wrap in jax.value_and_grad / your optimizer; shard
+    with the same specs as inference (parallel.tp_inference.tree_specs).
+    """
+    logits, _, _ = prefill(params, tokens, cfg, tp_axis=tp_axis,
+                           return_kv=False, remat=remat)
+    valid = targets >= 0
+    safe = jnp.where(valid, targets, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tp_axis"))

@@ -253,6 +253,7 @@ class Engine:
                 cfg, [], lora_rank, self.lora_targets, n_slots=max_loras + 1,
                 dtype=params["embed"].dtype)
         self._uid = 0
+        self._last_lps = None  # logprobs of the last _sample_batch's tokens
         self.stats = {"decode_steps": 0, "decode_tokens": 0,
                       "prefill_tokens": 0, "prefill_dispatches": 0,
                       "decode_time": 0.0, "prefill_time": 0.0,
@@ -302,7 +303,7 @@ class Engine:
                     eos_id: int | None = None, *, temperature: float = 0.0,
                     top_k: int = 0, top_p: float = 1.0,
                     seed: int = 0, lora: str | None = None,
-                    stop_ids=()) -> Request:
+                    stop_ids=(), logprobs: bool = False) -> Request:
         total = len(prompt) + max_new_tokens
         if self.spec:
             if top_k > 0 or top_p < 1.0:
@@ -341,7 +342,7 @@ class Engine:
         req = Request(self._uid, list(prompt), max_new_tokens, eos_id=eos_id,
                       temperature=temperature, top_k=top_k, top_p=top_p,
                       seed=seed, lora_id=self._lora_map.get(lora, 0),
-                      stop_ids=tuple(stop_ids))
+                      stop_ids=tuple(stop_ids), logprobs=logprobs)
         self.sched.add(req)
         return req
 
@@ -370,7 +371,20 @@ class Engine:
         toks = sampling.sample_tokens(
             logits[:n], temps, top_ks, top_ps, seeds, positions,
             need_filters=need_filters)
+        # raw-model per-token logprobs, recorded by _append_token alongside
+        # the matching output append (one extra (n,) readback, only when a
+        # request in this batch asked for logprobs)
+        self._last_lps = (np.asarray(sampling.token_logprobs(logits[:n],
+                                                             toks))
+                          if any(r.logprobs for r in reqs) else None)
         return [int(t) for t in np.asarray(toks)]
+
+    def _append_token(self, req: Request, i: int, tok: int) -> None:
+        """Record a sampled token (and, if requested, its logprob from the
+        immediately preceding _sample_batch, row ``i``) on ``req``."""
+        req.output.append(tok)
+        if req.logprobs and self._last_lps is not None:
+            req.token_logprobs.append(float(self._last_lps[i]))
 
     # ------------------------------------------------------- prefix caching
     def _prefix_can_admit(self, req: Request) -> bool:
@@ -485,7 +499,7 @@ class Engine:
         # on-device sample for the whole admitted batch
         last = jnp.asarray([len(s) - 1 for s in seqs], jnp.int32)
         rows = logits[jnp.arange(len(reqs)), last]
-        for req, tok in zip(reqs, self._sample_batch(reqs, rows)):
+        for i, (req, tok) in enumerate(zip(reqs, self._sample_batch(reqs, rows))):
             if self.spec and req.output:
                 # re-admitted after preemption: its kept output[-1] was
                 # emitted by a spec step and is already the next token to
@@ -493,7 +507,7 @@ class Engine:
                 # the EXACT uninterrupted completion (spec draws are keyed by
                 # (seed, output position) on their own sub-streams)
                 continue
-            req.output.append(tok)
+            self._append_token(req, i, tok)
         self.stats["prefill_dispatches"] += 1
         self.stats["prefill_time"] += time.perf_counter() - t0
 
@@ -596,10 +610,10 @@ class Engine:
                     salt=r.lora_id)
         last = jnp.asarray(np.maximum(clen - 1, 0), jnp.int32)
         rows = logits[jnp.arange(bsz), last]
-        for req, tok in zip(reqs, self._sample_batch(reqs, rows)):
+        for i, (req, tok) in enumerate(zip(reqs, self._sample_batch(reqs, rows))):
             if self.spec and req.output:
                 continue  # spec re-admission: see _prefill_batch
-            req.output.append(tok)
+            self._append_token(req, i, tok)
         self.stats["prefill_dispatches"] += 1
         self.stats["prefill_time"] += time.perf_counter() - t0
 
@@ -701,8 +715,8 @@ class Engine:
                 self.stats.get("prefill_chunks", 0) + 1
         for i in range(n):
             self.stats["prefill_tokens"] += int(lens[i])
-        for req, tok in zip(reqs, self._sample_batch(reqs, final_rows)):
-            req.output.append(tok)
+        for i, (req, tok) in enumerate(zip(reqs, self._sample_batch(reqs, final_rows))):
+            self._append_token(req, i, tok)
         self.stats["prefill_dispatches"] += 1
         self.stats["prefill_time"] += time.perf_counter() - t0
 
@@ -850,6 +864,13 @@ class Engine:
         # [3/3] rejection-sampling acceptance; the ONE host readback
         out, n_emit = sampling.spec_accept(logits, d_logits, d_toks, temps_j,
                                            seeds_j, pos_j)
+        lps = None
+        if any(r.logprobs for r in reqs):
+            # raw target-model logprob of every emitted token, straight off
+            # the verification logits (same definition as sample_tokens')
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            lps = np.asarray(jnp.take_along_axis(
+                logp, out[..., None], axis=-1)[..., 0])
         out = np.asarray(out)
         n_emit = np.asarray(n_emit)
         emitted = 0
@@ -859,6 +880,8 @@ class Engine:
                 if r.done:
                     break  # eos / max_new_tokens hit mid-acceptance
                 r.output.append(int(out[i, j]))
+                if r.logprobs and lps is not None:
+                    r.token_logprobs.append(float(lps[i, j]))
                 used += 1
             emitted += used
             # shrink the reservation to the committed frontier: cache holds
@@ -947,8 +970,8 @@ class Engine:
                     self.sched.fail(req, f"decode failed: {e!r}")
                 finished.extend(batch)
                 return finished
-            for req, nxt in zip(batch, next_tokens):
-                req.output.append(nxt)
+            for i, (req, nxt) in enumerate(zip(batch, next_tokens)):
+                self._append_token(req, i, nxt)
                 if req.done:
                     self.sched.finish(req)
                     finished.append(req)

@@ -170,3 +170,13 @@ def sample_tokens(logits, temps, top_ks, top_ps, seeds, positions,
     keys = _row_keys(seeds, positions)
     sampled = jax.vmap(jax.random.categorical)(keys, scaled).astype(jnp.int32)
     return jnp.where(temps <= 0.0, greedy_tok, sampled)
+
+
+@jax.jit
+def token_logprobs(logits, tokens):
+    """log p(token) under the RAW model distribution (no temperature, no
+    filters — the OpenAI-style per-token logprob). logits (b, vocab),
+    tokens (b,) int32 -> (b,) f32."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(logp, tokens[:, None].astype(jnp.int32),
+                               axis=-1)[:, 0]

@@ -43,6 +43,10 @@ class Request:
     cached_tokens: int = 0
     # Multi-LoRA: adapter stack slot (0 = base model).
     lora_id: int = 0
+    # Per-token logprobs: when True, token_logprobs[i] is log p(output[i])
+    # under the RAW model distribution (no temperature/filters).
+    logprobs: bool = False
+    token_logprobs: list = dataclasses.field(default_factory=list)
 
     # Additional stop tokens beyond eos_id (tuple: Requests stay hashable
     # and the set is usually tiny). Generation stops on ANY of them.

@@ -521,3 +521,39 @@ def test_engine_stream_yields_every_token(params):
     assert sorted(finished) == sorted(r.uid for r in reqs)
     for r in reqs:
         assert got[r.uid] == r.output and len(r.output) == r.max_new_tokens
+
+
+def test_engine_token_logprobs(params):
+    """token_logprobs[i] is the raw-model log p(output[i]) — verified
+    against dense full-recompute log-softmax at every position."""
+    eng = Engine(CFG, params, total_pages=32, page_size=16, max_batch=2,
+                 max_seq_len=128, kv_dtype=jnp.float32)
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+    req = eng.add_request(prompt, max_new_tokens=5, logprobs=True)
+    eng.run()
+    assert len(req.token_logprobs) == len(req.output) == 5
+    toks = list(prompt)
+    for tok, lp in zip(req.output, req.token_logprobs):
+        logits, _, _ = llama.prefill(params,
+                                     jnp.asarray(toks, jnp.int32)[None], CFG)
+        want = float(jax.nn.log_softmax(logits[0, -1])[tok])
+        assert abs(lp - want) < 1e-4, (lp, want)
+        toks.append(tok)
+
+
+def test_engine_spec_token_logprobs(params):
+    """Speculative mode reports the same raw target-model logprobs."""
+    eng = Engine(CFG, params, total_pages=64, page_size=16, max_batch=2,
+                 max_seq_len=128, kv_dtype=jnp.float32,
+                 draft_cfg=CFG, draft_params=params, n_draft=3)
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+    req = eng.add_request(prompt, max_new_tokens=5, logprobs=True)
+    eng.run()
+    assert len(req.token_logprobs) == len(req.output) == 5
+    toks = list(prompt)
+    for tok, lp in zip(req.output, req.token_logprobs):
+        logits, _, _ = llama.prefill(params,
+                                     jnp.asarray(toks, jnp.int32)[None], CFG)
+        want = float(jax.nn.log_softmax(logits[0, -1])[tok])
+        assert abs(lp - want) < 1e-4, (lp, want)
+        toks.append(tok)

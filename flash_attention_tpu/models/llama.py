@@ -424,7 +424,8 @@ def prefill(params, tokens, cfg: LlamaConfig, tp_axis: str | None = None,
 
 
 def train_loss(params, tokens, targets, cfg: LlamaConfig, *,
-               remat: bool = True, tp_axis: str | None = None):
+               remat: bool = True, tp_axis: str | None = None,
+               lora_ids=None):
     """Mean next-token cross-entropy — the training entry point.
 
     Differentiable end to end through the Pallas flash-attention custom_vjp;
@@ -436,7 +437,7 @@ def train_loss(params, tokens, targets, cfg: LlamaConfig, *,
     with the same specs as inference (parallel.tp_inference.tree_specs).
     """
     logits, _, _ = prefill(params, tokens, cfg, tp_axis=tp_axis,
-                           return_kv=False, remat=remat)
+                           return_kv=False, remat=remat, lora_ids=lora_ids)
     valid = targets >= 0
     safe = jnp.where(valid, targets, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

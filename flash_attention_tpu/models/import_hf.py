@@ -89,6 +89,9 @@ def config_from_hf(hf_config) -> LlamaConfig:
             query_scale=None if qs is None else float(qs),
             embed_scale=True,
         )
+    if kind == "mixtral":
+        kw = dict(n_experts=hf_config.num_local_experts,
+                  n_experts_per_tok=hf_config.num_experts_per_tok)
     return LlamaConfig(
         vocab_size=hf_config.vocab_size,
         # Qwen-2 carries QKV biases; its older configs have no
@@ -136,6 +139,14 @@ def from_hf_state_dict(state_dict, cfg: LlamaConfig, dtype=jnp.bfloat16):
             np.stack([get(fmt.format(i)) + norm_shift
                       for i in range(cfg.n_layers)]), dtype)
 
+    def stack_experts(fmt):
+        # Mixtral experts: nn.Linear (out, in) per (layer, expert) ->
+        # (L, E, in, out)
+        return jnp.asarray(
+            np.stack([np.stack([get(fmt.format(i, e)).T
+                                for e in range(cfg.n_experts)])
+                      for i in range(cfg.n_layers)]), dtype)
+
     pre_mlp_norm = ("model.layers.{}.pre_feedforward_layernorm.weight"
                     if cfg.post_norms
                     else "model.layers.{}.post_attention_layernorm.weight")
@@ -145,13 +156,25 @@ def from_hf_state_dict(state_dict, cfg: LlamaConfig, dtype=jnp.bfloat16):
         "wk": stack_linear("model.layers.{}.self_attn.k_proj.weight"),
         "wv": stack_linear("model.layers.{}.self_attn.v_proj.weight"),
         "wo": stack_linear("model.layers.{}.self_attn.o_proj.weight"),
-        "w_gate": stack_linear("model.layers.{}.mlp.gate_proj.weight"),
-        "w_up": stack_linear("model.layers.{}.mlp.up_proj.weight"),
-        "w_down": stack_linear("model.layers.{}.mlp.down_proj.weight"),
         "norm_attn": stack_vec("model.layers.{}.input_layernorm.weight"),
         "norm_mlp": stack_vec(pre_mlp_norm),
         "norm_out": jnp.asarray(get("model.norm.weight") + norm_shift, dtype),
     }
+    if cfg.n_experts:  # Mixtral sparse MoE block (w1 gate / w3 up / w2 down)
+        params["w_router"] = stack_linear(
+            "model.layers.{}.block_sparse_moe.gate.weight")
+        params["w_gate"] = stack_experts(
+            "model.layers.{}.block_sparse_moe.experts.{}.w1.weight")
+        params["w_up"] = stack_experts(
+            "model.layers.{}.block_sparse_moe.experts.{}.w3.weight")
+        params["w_down"] = stack_experts(
+            "model.layers.{}.block_sparse_moe.experts.{}.w2.weight")
+    else:
+        params["w_gate"] = stack_linear(
+            "model.layers.{}.mlp.gate_proj.weight")
+        params["w_up"] = stack_linear("model.layers.{}.mlp.up_proj.weight")
+        params["w_down"] = stack_linear(
+            "model.layers.{}.mlp.down_proj.weight")
     if cfg.post_norms:  # Gemma-2 sandwich norms
         params["norm_post_attn"] = stack_vec(
             "model.layers.{}.post_attention_layernorm.weight")

@@ -73,6 +73,13 @@ class LlamaConfig:
     # (Gemma-2's query_pre_attn_scalar); None = 1/sqrt(head_dim)
     embed_scale: bool = False            # multiply embeddings by sqrt(dim)
     attn_bias: bool = False              # QKV projection biases (Qwen-2)
+    # Mixture-of-Experts (Mixtral): n_experts > 0 replaces the dense FFN
+    # with a sparse top-k MoE layer (ops.moe: sorted dispatch + grouped
+    # Pallas matmul, no capacity dropping). Under tensor parallelism the
+    # EXPERT axis shards over the model axis (expert parallelism) and the
+    # partial outputs ride the existing per-layer FFN psum.
+    n_experts: int = 0
+    n_experts_per_tok: int = 2
 
     @property
     def sm_scale(self) -> float | None:
@@ -127,6 +134,23 @@ class LlamaConfig:
                    post_norms=True, query_scale=256.0, embed_scale=True)
 
     @classmethod
+    def mixtral_8x7b(cls):
+        """Mixtral-8x7B geometry: Mistral attention (GQA, 8 kv heads) with
+        8 experts / top-2 routing. v0.1 ships without the sliding window."""
+        return cls(vocab_size=32000, dim=4096, n_layers=32, n_heads=32,
+                   n_kv_heads=8, head_dim=128, hidden_dim=14336,
+                   rope_theta=1e6, n_experts=8, n_experts_per_tok=2)
+
+    @classmethod
+    def tiny_moe(cls, **kw):
+        """Small Mixtral-style config (4 experts, top-2)."""
+        d = dict(vocab_size=256, dim=256, n_layers=2, n_heads=4,
+                 n_kv_heads=2, head_dim=128, hidden_dim=512, n_experts=4,
+                 n_experts_per_tok=2)
+        d.update(kw)
+        return cls(**d)
+
+    @classmethod
     def tiny(cls, **kw):
         """Small config for tests/CI."""
         d = dict(vocab_size=256, dim=256, n_layers=2, n_heads=4,
@@ -164,20 +188,27 @@ def init_params(rng, cfg: LlamaConfig, dtype=jnp.bfloat16):
         scale = scale if scale is not None else (shape[-2] ** -0.5)
         return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
 
+    E = cfg.n_experts
     params = {
         "embed": w(keys[0], cfg.vocab_size, D, scale=0.02),
         "wq": w(keys[1], L, D, H * hd),
         "wk": w(keys[2], L, D, HK * hd),
         "wv": w(keys[3], L, D, HK * hd),
         "wo": w(keys[4], L, H * hd, D),
-        "w_gate": w(keys[5], L, D, F),
-        "w_up": w(keys[6], L, D, F),
-        "w_down": w(keys[7], L, F, D),
+        "w_gate": (w(keys[5], L, E, D, F, scale=D**-0.5) if E
+                   else w(keys[5], L, D, F)),
+        "w_up": (w(keys[6], L, E, D, F, scale=D**-0.5) if E
+                 else w(keys[6], L, D, F)),
+        "w_down": (w(keys[7], L, E, F, D, scale=F**-0.5) if E
+                   else w(keys[7], L, F, D)),
         "norm_attn": jnp.ones((L, D), dtype),
         "norm_mlp": jnp.ones((L, D), dtype),
         "norm_out": jnp.ones((D,), dtype),
         "lm_head": w(keys[8], D, cfg.vocab_size),
     }
+    if E:  # MoE router (kept fp32-ready: routing runs in fp32)
+        params["w_router"] = w(jax.random.fold_in(keys[5], 1), L, D, E,
+                               scale=0.02)
     if cfg.post_norms:  # Gemma-2 sandwich norms
         params["norm_post_attn"] = jnp.ones((L, D), dtype)
         params["norm_post_mlp"] = jnp.ones((L, D), dtype)
@@ -191,6 +222,10 @@ def init_params(rng, cfg: LlamaConfig, dtype=jnp.bfloat16):
 
 def quantize_params(params, bits: int = 8):
     """Weight-only quantization of every per-layer matmul weight."""
+    if "w_router" in params:
+        raise NotImplementedError(
+            "weight-only quantization of MoE expert stacks is not supported "
+            "yet (the grouped matmul kernel takes float expert weights)")
     quant = quantize_int8 if bits == 8 else quantize_int4
 
     def q_stacked(w):  # (L, k, n) -> stacked QuantizedTensor
@@ -268,6 +303,8 @@ def _layer_weights(params):
         names += ("norm_post_attn", "norm_post_mlp")
     if "bq" in params:
         names += ("bq", "bk", "bv")  # Qwen-2 QKV biases (attn_bias)
+    if "w_router" in params:
+        names += ("w_router",)       # MoE router (Mixtral)
     out = tuple(params[n] for n in names)
     if "lora" in params:
         # stacked multi-LoRA adapters {target: (A (L, slots, din, r),
@@ -276,27 +313,56 @@ def _layer_weights(params):
     return out
 
 
-def _unpack_layer(w, post: bool, bias: bool, lora: bool = False):
-    """Split a _layer_weights tuple into its 15 possible slots (absent
+def _unpack_layer(w, post: bool, bias: bool, moe: bool = False,
+                  lora: bool = False):
+    """Split a _layer_weights tuple into its 16 possible slots (absent
     optional entries come back None): wq wk wv wo wg wu wd na nm npa npm
-    bq bk bv lr. One helper so the three forward paths cannot drift."""
+    bq bk bv wr lr. One helper so the three forward paths cannot drift."""
     core, off = w[:9], 9
-    npa = npm = bq = bk = bv = lr = None
+    npa = npm = bq = bk = bv = wr = lr = None
     if post:
         npa, npm = w[off:off + 2]
         off += 2
     if bias:
         bq, bk, bv = w[off:off + 3]
         off += 3
+    if moe:
+        wr = w[off]
+        off += 1
     if lora:
         lr = w[off]
-    return (*core, npa, npm, bq, bk, bv, lr)
+    return (*core, npa, npm, bq, bk, bv, wr, lr)
 
 
 def _proj(h, w, b):
     """x @ w (+ bias) — QKV projections (Qwen-2 carries QKV biases)."""
     out = _mm(h, w)
     return out if b is None else out + b
+
+
+def _ffn(h, wg, wu, wd, wr, cfg, lproj, tp_axis):
+    """The FFN half of a layer, shared by prefill / prefill_chunk / decode.
+
+    Dense (wr is None): SwiGLU/GeGLU through ``lproj`` (so LoRA deltas on
+    the FFN targets apply). MoE (Mixtral): sparse top-k expert layer via
+    ``ops.moe`` — under tensor parallelism the EXPERT axis is what's sharded
+    (expert parallelism), each shard computing only its local experts'
+    groups; the caller's existing FFN psum combines the partials. Returns
+    the pre-psum output."""
+    if wr is None:
+        return lproj(_act(lproj(h, wg, None, "w_gate"), cfg.act)
+                     .astype(h.dtype) * lproj(h, wu, None, "w_up"),
+                     wd, None, "w_down")
+    from flash_attention_tpu.ops import moe as moe_mod
+    shape = h.shape
+    off = None
+    if tp_axis is not None:
+        off = jax.lax.axis_index(tp_axis) * wg.shape[0]
+    out, _ = moe_mod.moe_ffn(
+        h.reshape(-1, shape[-1]), wr, wg, wu, wd,
+        n_top=cfg.n_experts_per_tok, act=lambda a: _act(a, cfg.act),
+        expert_offset=off)
+    return out.reshape(shape)
 
 
 def _group_layers(tree, period: int):
@@ -311,6 +377,47 @@ def _group_layers(tree, period: int):
         return tree
     return jax.tree.map(
         lambda a: a.reshape(a.shape[0] // period, period, *a.shape[1:]), tree)
+
+
+def _dense_layer(x, w, cfg: LlamaConfig, positions, window, *, tp_axis,
+                 lora_ids, kv_fake_quant, post, bias, moe, has_lora):
+    """One transformer layer on a dense (batch, seq, D) activation — the
+    prefill layer body, module-level so the pipeline-parallel stage forward
+    (parallel.pipeline) runs the IDENTICAL math as single-device prefill.
+    Returns (x, (k, v))."""
+    b, s = x.shape[:2]
+    (wq, wk, wv, wo, wg, wu, wd, na, nm, npa, npm, bq, bk, bv, wr,
+     lr) = _unpack_layer(w, post, bias, moe, has_lora)
+
+    def lproj(hh, ww, bb, name):
+        out = _proj(hh, ww, bb)
+        d = lora_mod.delta(hh, lr, name, lora_ids)
+        return out if d is None else out + d
+    h = _rmsnorm(x, na, cfg.norm_eps)
+    q = lproj(h, wq, bq, "wq").reshape(b, s, cfg.n_heads, cfg.head_dim)
+    k = lproj(h, wk, bk, "wk").reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+    v = lproj(h, wv, bv, "wv").reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+    q = _rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
+    k = _rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
+    if kv_fake_quant is not None:
+        def fq(t):
+            tq, sc = _quantize_token(t, kv_fake_quant)
+            return (tq.astype(jnp.float32) * sc[..., None]).astype(t.dtype)
+        k, v = fq(k), fq(v)
+    win = None if window is None else (window - 1, 0)
+    o = flash_attention(q, k, v, causal=True, window_size=win,
+                        softcap=cfg.attn_softcap, sm_scale=cfg.sm_scale)
+    attn = _maybe_psum(lproj(o.reshape(b, s, -1), wo, None, "wo"), tp_axis)
+    if post:  # sandwich norm AFTER the TP psum (norm is nonlinear)
+        attn = _rmsnorm(attn, npa, cfg.norm_eps)
+    x = x + attn
+    h = _rmsnorm(x, nm, cfg.norm_eps)
+    mlp = _ffn(h, wg, wu, wd, wr, cfg, lproj, tp_axis)
+    mlp = _maybe_psum(mlp, tp_axis)
+    if post:
+        mlp = _rmsnorm(mlp, npm, cfg.norm_eps)
+    x = x + mlp
+    return x, (k, v)
 
 
 @functools.partial(jax.jit,
@@ -341,43 +448,16 @@ def prefill(params, tokens, cfg: LlamaConfig, tp_axis: str | None = None,
     has_lora = "lora" in params
     if has_lora and lora_ids is None:
         raise ValueError("params carry LoRA stacks but no lora_ids given")
+    moe = "w_router" in params
+    if moe and has_lora:
+        raise ValueError("LoRA adapters on MoE expert weights are not "
+                         "supported (attention-only targets work)")
 
     def one_layer(x, w, window):
-        (wq, wk, wv, wo, wg, wu, wd, na, nm, npa, npm, bq, bk, bv, lr) = \
-            _unpack_layer(w, post, bias, has_lora)
-
-        def lproj(hh, ww, bb, name):
-            out = _proj(hh, ww, bb)
-            d = lora_mod.delta(hh, lr, name, lora_ids)
-            return out if d is None else out + d
-        h = _rmsnorm(x, na, cfg.norm_eps)
-        q = lproj(h, wq, bq, "wq").reshape(b, s, cfg.n_heads, cfg.head_dim)
-        k = lproj(h, wk, bk, "wk").reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
-        v = lproj(h, wv, bv, "wv").reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
-        q = _rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
-        k = _rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
-        if kv_fake_quant is not None:
-            def fq(t):
-                tq, sc = _quantize_token(t, kv_fake_quant)
-                return (tq.astype(jnp.float32) * sc[..., None]).astype(t.dtype)
-            k, v = fq(k), fq(v)
-        win = None if window is None else (window - 1, 0)
-        o = flash_attention(q, k, v, causal=True, window_size=win,
-                            softcap=cfg.attn_softcap, sm_scale=cfg.sm_scale)
-        attn = _maybe_psum(lproj(o.reshape(b, s, -1), wo, None, "wo"),
-                           tp_axis)
-        if post:  # sandwich norm AFTER the TP psum (norm is nonlinear)
-            attn = _rmsnorm(attn, npa, cfg.norm_eps)
-        x = x + attn
-        h = _rmsnorm(x, nm, cfg.norm_eps)
-        mlp = lproj(_act(lproj(h, wg, None, "w_gate"), cfg.act)
-                    .astype(x.dtype) * lproj(h, wu, None, "w_up"),
-                    wd, None, "w_down")
-        mlp = _maybe_psum(mlp, tp_axis)
-        if post:
-            mlp = _rmsnorm(mlp, npm, cfg.norm_eps)
-        x = x + mlp
-        return x, (k, v)
+        return _dense_layer(x, w, cfg, positions, window, tp_axis=tp_axis,
+                            lora_ids=lora_ids, kv_fake_quant=kv_fake_quant,
+                            post=post, bias=bias, moe=moe,
+                            has_lora=has_lora)
 
     # Alternating window/global layers (window_pattern > 1) scan over GROUPS
     # of layers so each sub-layer's window stays a static kernel arg.
@@ -482,6 +562,10 @@ def prefill_chunk(params, tokens, done, chunk_len, k_pages, v_pages,
     has_lora = "lora" in params
     if has_lora and lora_ids is None:
         raise ValueError("params carry LoRA stacks but no lora_ids given")
+    moe = "w_router" in params
+    if moe and has_lora:
+        raise ValueError("LoRA adapters on MoE expert weights are not "
+                         "supported (attention-only targets work)")
 
     # segment/position metadata for the segmented flash path:
     # kv = [prefix tokens 0..pref) || chunk tokens done..done+c)
@@ -496,8 +580,8 @@ def prefill_chunk(params, tokens, done, chunk_len, k_pages, v_pages,
     segs = (q_seg, kv_seg, positions, kv_pos)
 
     def one_layer(x, w, kp, vp, kps, vps, window):
-        (wq, wk, wv, wo, wg, wu, wd, na, nm, npa, npm, bq, bk, bv, lr) = \
-            _unpack_layer(w, post, bias, has_lora)
+        (wq, wk, wv, wo, wg, wu, wd, na, nm, npa, npm, bq, bk, bv, wr,
+         lr) = _unpack_layer(w, post, bias, moe, has_lora)
 
         def lproj(hh, ww, bb, name):
             out = _proj(hh, ww, bb)
@@ -537,9 +621,7 @@ def prefill_chunk(params, tokens, done, chunk_len, k_pages, v_pages,
             attn = _rmsnorm(attn, npa, cfg.norm_eps)
         x = x + attn
         h = _rmsnorm(x, nm, cfg.norm_eps)
-        mlp = lproj(_act(lproj(h, wg, None, "w_gate"), cfg.act)
-                    .astype(x.dtype) * lproj(h, wu, None, "w_up"),
-                    wd, None, "w_down")
+        mlp = _ffn(h, wg, wu, wd, wr, cfg, lproj, tp_axis)
         mlp = _maybe_psum(mlp, tp_axis)
         if post:
             mlp = _rmsnorm(mlp, npm, cfg.norm_eps)
@@ -668,8 +750,18 @@ def _decode_core(
     tp_axis: str | None = None, lora_ids=None,
 ):
     """Unjitted decode-step body, shared between ``decode_step`` (one jitted
-    token) and ``draft_rollout`` (a ``lax.scan`` of draft-model tokens inside
-    a single dispatch — speculative decoding)."""
+    token), ``draft_rollout`` (speculative decoding) and ``decode_rollout``
+    (multi-step decode) — the latter two run this inside a ``lax.scan``.
+
+    The layer-stacked caches ride the layer scan as CARRY, never as xs/ys:
+    each layer's KV write is an in-place aliased Pallas kernel
+    (``ops.kv_update.write_token_kv``) and the paged-attention kernel reads
+    the full 5D cache at a traced layer index. Round 3 sliced per-layer
+    caches through the scan instead, which forced XLA to materialize full
+    cache copies — measured ~8 GB of copy traffic per decoded token at the
+    bench geometry (8 layers, 2048 pages), ~10x the real KV read volume and
+    ~95% of the decode step wall-clock."""
+    from flash_attention_tpu.ops.kv_update import write_token_kv
     b = tokens.shape[0]
     quantized = k_scales is not None
     x = params["embed"][tokens]  # (b, D)
@@ -681,10 +773,14 @@ def _decode_core(
     has_lora = "lora" in params
     if has_lora and lora_ids is None:
         raise ValueError("params carry LoRA stacks but no lora_ids given")
+    moe = "w_router" in params
+    if moe and has_lora:
+        raise ValueError("LoRA adapters on MoE expert weights are not "
+                         "supported (attention-only targets work)")
 
-    def one_layer(x, w, kp, vp, kps, vps, window):
-        (wq, wk, wv, wo, wg, wu, wd, na, nm, npa, npm, bq, bk, bv, lr) = \
-            _unpack_layer(w, post, bias, has_lora)
+    def one_layer(x, w, kp, vp, kps, vps, layer, window):
+        (wq, wk, wv, wo, wg, wu, wd, na, nm, npa, npm, bq, bk, bv, wr,
+         lr) = _unpack_layer(w, post, bias, moe, has_lora)
 
         def lproj(hh, ww, bb, name):
             out = _proj(hh, ww, bb)
@@ -699,28 +795,28 @@ def _decode_core(
         k = _rope(k, pos[:, None], cfg.rope_theta,
                   cfg.rope_scaling)[:, 0]  # (b, HK, hd)
         v = v[:, 0]
-        # scatter this token's K/V into its page slot (page-tile
-        # gather/modify/scatter — see _scatter_token_kv)
+        # write this token's K/V into its page slot IN PLACE (aliased RMW of
+        # the touched page tiles only — see ops.kv_update)
         if quantized:
             k, ksc = _quantize_token(k, kp.dtype)   # ksc (b, hk)
             v, vsc = _quantize_token(v, vp.dtype)
-            kps = _scatter_token_scale(kps, write_page, write_off, ksc)
-            vps = _scatter_token_scale(vps, write_page, write_off, vsc)
-        kp = _scatter_token_kv(kp, write_page, write_off, k)
-        vp = _scatter_token_kv(vp, write_page, write_off, v)
+        else:
+            k, v = k.astype(kp.dtype), v.astype(vp.dtype)
+            ksc = vsc = None
+        kp, vp, kps, vps = write_token_kv(
+            kp, vp, kps, vps, k, v, ksc, vsc, write_page, write_off,
+            layer=layer)
         o = paged_attention(q.reshape(b, -1, cfg.head_dim), kp, vp,
                             lengths, page_tables, k_scales=kps, v_scales=vps,
                             window=window, softcap=cfg.attn_softcap,
-                            sm_scale=cfg.sm_scale)
+                            sm_scale=cfg.sm_scale, layer=layer)
         attn = _maybe_psum(lproj(o.reshape(b, -1), wo, None, "wo"),
                            tp_axis)
         if post:
             attn = _rmsnorm(attn, npa, cfg.norm_eps)
         x = x + attn
         h = _rmsnorm(x, nm, cfg.norm_eps)
-        mlp = lproj(_act(lproj(h, wg, None, "w_gate"), cfg.act)
-                    .astype(x.dtype) * lproj(h, wu, None, "w_up"),
-                    wd, None, "w_down")
+        mlp = _ffn(h, wg, wu, wd, wr, cfg, lproj, tp_axis)
         mlp = _maybe_psum(mlp, tp_axis)
         if post:
             mlp = _rmsnorm(mlp, npm, cfg.norm_eps)
@@ -732,46 +828,20 @@ def _decode_core(
         raise ValueError(f"n_layers {cfg.n_layers} not divisible by "
                          f"window_pattern {period}")
 
-    def layer_group(x, w_and_cache):
-        if quantized:
-            wg, kpg, vpg, kpsg, vpsg = w_and_cache
-        else:
-            wg, kpg, vpg = w_and_cache
-            kpsg = vpsg = None
-        outs = []
+    def layer_group(carry, wl):
+        x, kp, vp, kps, vps = carry
+        wg, lids = wl
         for j in range(period):
-            pick = ((lambda t: jax.tree.map(lambda a: a[j], t))
-                    if period > 1 else (lambda t: t))
+            w = (jax.tree.map(lambda a: a[j], wg) if period > 1 else wg)
             x, kp, vp, kps, vps = one_layer(
-                x, pick(wg), pick(kpg), pick(vpg),
-                pick(kpsg) if quantized else None,
-                pick(vpsg) if quantized else None,
-                cfg.layer_window(j))
-            outs.append((kp, vp, kps, vps))
-        if period == 1:
-            kp, vp, kps, vps = outs[0]
-        else:
-            kp, vp, kps, vps = (
-                None if outs[0][i] is None
-                else jnp.stack([o[i] for o in outs]) for i in range(4))
-        if quantized:
-            return x, (kp, vp, kps, vps)
-        return x, (kp, vp)
+                x, w, kp, vp, kps, vps, lids[j], cfg.layer_window(j))
+        return (x, kp, vp, kps, vps), None
 
-    if quantized:
-        xs = tuple(_group_layers(t, period) for t in (
-            _layer_weights(params), k_pages, v_pages, k_scales, v_scales))
-        x, (k_pages, v_pages, k_scales, v_scales) = jax.lax.scan(
-            layer_group, x, xs)
-    else:
-        xs = tuple(_group_layers(t, period) for t in (
-            _layer_weights(params), k_pages, v_pages))
-        x, (k_pages, v_pages) = jax.lax.scan(layer_group, x, xs)
-    if period > 1:
-        unflat = lambda a: (None if a is None
-                            else a.reshape(cfg.n_layers, *a.shape[2:]))
-        k_pages, v_pages = unflat(k_pages), unflat(v_pages)
-        k_scales, v_scales = unflat(k_scales), unflat(v_scales)
+    lids = jnp.arange(cfg.n_layers, dtype=jnp.int32).reshape(
+        cfg.n_layers // period, period)
+    xs = (_group_layers(_layer_weights(params), period), lids)
+    (x, k_pages, v_pages, k_scales, v_scales), _ = jax.lax.scan(
+        layer_group, (x, k_pages, v_pages, k_scales, v_scales), xs)
     x = _rmsnorm(x, params["norm_out"], cfg.norm_eps)
     logits = _mm(x, params["lm_head"]).astype(jnp.float32)
     if cfg.final_softcap is not None:

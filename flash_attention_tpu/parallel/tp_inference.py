@@ -27,10 +27,19 @@ from flash_attention_tpu.ops.quant import QuantizedTensor
 
 
 def local_config(cfg: llama.LlamaConfig, tp: int) -> llama.LlamaConfig:
-    if cfg.n_heads % tp or cfg.n_kv_heads % tp or cfg.hidden_dim % tp:
+    if cfg.n_heads % tp or cfg.n_kv_heads % tp:
         raise ValueError(
-            f"heads {cfg.n_heads}/{cfg.n_kv_heads} and hidden {cfg.hidden_dim}"
-            f" must divide tp={tp}")
+            f"heads {cfg.n_heads}/{cfg.n_kv_heads} must divide tp={tp}")
+    if cfg.n_experts:
+        # MoE: the EXPERT axis shards (expert parallelism); each local
+        # expert keeps the full hidden_dim. Routing stays global.
+        if cfg.n_experts % tp:
+            raise ValueError(f"n_experts {cfg.n_experts} must divide tp={tp}")
+        return dataclasses.replace(
+            cfg, n_heads=cfg.n_heads // tp, n_kv_heads=cfg.n_kv_heads // tp,
+            n_experts=cfg.n_experts // tp)
+    if cfg.hidden_dim % tp:
+        raise ValueError(f"hidden {cfg.hidden_dim} must divide tp={tp}")
     return dataclasses.replace(
         cfg, n_heads=cfg.n_heads // tp, n_kv_heads=cfg.n_kv_heads // tp,
         hidden_dim=cfg.hidden_dim // tp)
@@ -77,6 +86,14 @@ def _qt_spec(spec: P, qt: QuantizedTensor) -> QuantizedTensor:
 
 def tree_specs(params) -> dict:
     specs = param_specs()
+    if "w_router" in params:
+        # MoE: expert parallelism — shard the stacked (L, E, d_in, d_out)
+        # expert weights on the EXPERT axis; the router is replicated
+        # (routing is global) and the FFN psum combines partial outputs.
+        specs["w_router"] = P()
+        specs["w_gate"] = P(None, "model", None, None)
+        specs["w_up"] = P(None, "model", None, None)
+        specs["w_down"] = P(None, "model", None, None)
     out = {}
     for k, v in params.items():
         if isinstance(v, QuantizedTensor):

@@ -251,3 +251,50 @@ def test_qwen2_generation_matches_hf(hf_qwen2):
     req = eng.add_request([int(t) for t in prompt[0]], max_new_tokens=6)
     eng.run()
     assert req.output == hf_new, (req.output, hf_new)
+
+
+@pytest.fixture(scope="module")
+def hf_mixtral():
+    cfg = transformers.MixtralConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=512, rms_norm_eps=1e-5, rope_theta=10000.0,
+        sliding_window=None, tie_word_embeddings=False,
+    )
+    torch.manual_seed(3)
+    model = transformers.MixtralForCausalLM(cfg)
+    model.eval()
+    return model
+
+
+def test_mixtral_logits_match_hf(hf_mixtral):
+    """Sparse-MoE forward (router top-2 + grouped expert matmuls) vs HF's
+    MixtralSparseMoeBlock — completely independent dispatch machinery."""
+    params, cfg = from_hf(hf_mixtral, dtype=jnp.float32)
+    assert cfg.n_experts == 4 and cfg.n_experts_per_tok == 2
+    rng = np.random.default_rng(5)
+    toks = rng.integers(0, 128, size=(2, 33))
+    with torch.no_grad():
+        hf_logits = hf_mixtral(torch.from_numpy(toks)).logits.numpy()
+    logits, _, _ = llama.prefill(params, jnp.asarray(toks, jnp.int32), cfg)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits,
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_mixtral_greedy_generation_matches_hf(hf_mixtral):
+    params, cfg = from_hf(hf_mixtral, dtype=jnp.float32)
+    rng = np.random.default_rng(6)
+    prompt = rng.integers(0, 128, size=(1, 12))
+    with torch.no_grad():
+        hf_out = hf_mixtral.generate(
+            torch.from_numpy(prompt), max_new_tokens=6, do_sample=False,
+            pad_token_id=0)
+    hf_new = hf_out[0, 12:].tolist()
+
+    from flash_attention_tpu.serving.engine import Engine
+    eng = Engine(cfg, params, total_pages=16, page_size=16, max_batch=2,
+                 max_seq_len=128, kv_dtype=jnp.float32)
+    req = eng.add_request([int(t) for t in prompt[0]], max_new_tokens=6)
+    eng.run()
+    assert req.output == hf_new, (req.output, hf_new)

@@ -425,7 +425,7 @@ def _dense_layer(x, w, cfg: LlamaConfig, positions, window, *, tp_axis,
                                     "return_kv", "remat"))
 def prefill(params, tokens, cfg: LlamaConfig, tp_axis: str | None = None,
             kv_fake_quant=None, lora_ids=None, return_kv: bool = True,
-            remat: bool = False):
+            remat: bool = False, logit_rows=None):
     """Full-prompt forward. tokens: (b, s) int32.
 
     Returns (logits (b, s, vocab), k_cache (L, b, s, hk, hd), v_cache same).
@@ -437,6 +437,11 @@ def prefill(params, tokens, cfg: LlamaConfig, tp_axis: str | None = None,
     quality (tools/eval_quant.py). Mathematically identical to what the
     paged kernel computes with fused scales (kernel-vs-dequantized-oracle
     parity is gated in tests/test_paged_attention.py).
+    ``logit_rows`` ((b,) int32): apply the lm_head only at each row's given
+    position — logits come back (b, vocab). The full (b, s, vocab) fp32
+    logits are the LARGEST array a serving prefill touches (8.4 GB at
+    batch 16 / bucket 4096 / vocab 32k — a measured on-chip OOM) and the
+    engine only ever reads one row per sequence.
     """
     b, s = tokens.shape
     x = params["embed"][tokens]  # (b, s, D)
@@ -496,6 +501,8 @@ def prefill(params, tokens, cfg: LlamaConfig, tp_axis: str | None = None,
         if period > 1:  # (L/period, period, ...) -> (L, ...)
             ks = ks.reshape(cfg.n_layers, *ks.shape[2:])
             vs = vs.reshape(cfg.n_layers, *vs.shape[2:])
+    if logit_rows is not None:
+        x = x[jnp.arange(b), logit_rows]  # (b, D) — before the lm_head
     x = _rmsnorm(x, params["norm_out"], cfg.norm_eps)
     logits = _mm(x, params["lm_head"]).astype(jnp.float32)
     if cfg.final_softcap is not None:

@@ -165,20 +165,33 @@ def tp_prefill_chunk(params, tokens, done, chunk_len, k_pages, v_pages,
 
 
 def tp_prefill(params, tokens, *, cfg: llama.LlamaConfig, mesh: Mesh,
-               axis: str = "model"):
+               axis: str = "model", logit_rows=None):
     """Tensor-parallel prompt forward. Returns (logits, ks, vs) with
-    ks/vs (L, b, s, hk_local-sharded, hd)."""
+    ks/vs (L, b, s, hk_local-sharded, hd). ``logit_rows``: lm_head applied
+    only at each row's given position (see ``llama.prefill``)."""
     tp = mesh.shape[axis]
     cfg_local = local_config(cfg, tp)
     pspecs = tree_specs(params)
     kv_spec = P(None, None, None, axis, None)
 
-    def step(params, tokens):
-        return llama.prefill(params, tokens, cfg_local, tp_axis=axis)
+    if logit_rows is None:
+        def step(params, tokens):
+            return llama.prefill(params, tokens, cfg_local, tp_axis=axis)
+
+        return jax.shard_map(
+            step, mesh=mesh,
+            in_specs=(pspecs, P()),
+            out_specs=(P(), kv_spec, kv_spec),
+            check_vma=False,
+        )(params, tokens)
+
+    def step(params, tokens, rows):
+        return llama.prefill(params, tokens, cfg_local, tp_axis=axis,
+                             logit_rows=rows)
 
     return jax.shard_map(
         step, mesh=mesh,
-        in_specs=(pspecs, P()),
+        in_specs=(pspecs, P(), P()),
         out_specs=(P(), kv_spec, kv_spec),
         check_vma=False,
-    )(params, tokens)
+    )(params, tokens, logit_rows)

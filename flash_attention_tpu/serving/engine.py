@@ -462,14 +462,23 @@ class Engine:
         for i, s in enumerate(seqs):
             toks[i, : len(s)] = s
         tokens = jnp.asarray(toks)
+        # lm_head only at each row's last context position: the full
+        # (bsz, bucket, vocab) fp32 logits are the largest array a prefill
+        # touches (8.4 GB at batch 16 / bucket 4096 / vocab 32k — a
+        # measured on-chip OOM) and only one row per sequence is read
+        last_np = np.zeros((bsz,), np.int32)
+        for i, sq in enumerate(seqs):
+            last_np[i] = len(sq) - 1
+        last_rows = jnp.asarray(last_np)
         if self.mesh is not None:
             from flash_attention_tpu.parallel.tp_inference import tp_prefill
             logits, ks, vs = tp_prefill(self.params, tokens, cfg=self.cfg,
-                                        mesh=self.mesh, axis=self.tp_axis)
+                                        mesh=self.mesh, axis=self.tp_axis,
+                                        logit_rows=last_rows)
         else:
             logits, ks, vs = llama.prefill(
                 self._model_params(), tokens, self.cfg,
-                lora_ids=self._lora_ids(reqs, bsz))
+                lora_ids=self._lora_ids(reqs, bsz), logit_rows=last_rows)
         # ONE page-granular scatter for every (request, page) pair admitted
         # this step (round 2 issued one .at[].set chain per request —
         # VERDICT r2 weak #7). N pads to pow2 aimed at the trash page to
@@ -505,19 +514,19 @@ class Engine:
                     tp_prefill
                 _, ks_d, vs_d = tp_prefill(self.draft_params, tokens,
                                            cfg=self.draft_cfg,
-                                           mesh=self.mesh, axis=self.tp_axis)
+                                           mesh=self.mesh, axis=self.tp_axis,
+                                           logit_rows=last_rows)
             else:
                 _, ks_d, vs_d = llama.prefill(self.draft_params, tokens,
-                                              self.draft_cfg)
+                                              self.draft_cfg,
+                                              logit_rows=last_rows)
             (self.k_pages_d, self.v_pages_d, self.k_scales_d,
              self.v_scales_d) = llama.write_prefill_to_pages(
                 self.k_pages_d, self.v_pages_d, (ks_d, vs_d),
                 dest, src_row, src_page, self.page_size,
                 k_scales=self.k_scales_d, v_scales=self.v_scales_d)
-        # one on-device gather of each row's last-context logits + one
-        # on-device sample for the whole admitted batch
-        last = jnp.asarray([len(s) - 1 for s in seqs], jnp.int32)
-        rows = logits[jnp.arange(len(reqs)), last]
+        # logits are already (bsz, vocab) — each row's last context position
+        rows = logits
         for i, (req, tok) in enumerate(zip(reqs, self._sample_batch(reqs, rows))):
             if self.spec and req.output:
                 # re-admitted after preemption: its kept output[-1] was

@@ -111,7 +111,8 @@ def _fwd_padded(q, k, v, segs, *, causal, sm_scale, block_sizes, interpret,
         interpret = _default_interpret()
     if block_sizes is None:
         block_sizes = BlockSizes.for_shape(sq, sk, d, n_heads=h,
-                                           n_kv_heads=hk)
+                                           n_kv_heads=hk, causal=causal,
+                                           segmented=segs is not None)
     if sm_scale is None:
         sm_scale = 1.0 / d**0.5
 

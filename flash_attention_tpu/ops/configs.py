@@ -25,6 +25,12 @@ class BlockSizes:
     # inner sub-tile of block_kv processed per online-softmax update (None =
     # whole block); lets the next sub-tile's MXU work overlap this one's VPU
     block_kv_inner: int | None = None
+    # q-row stripe width for MASKED (band-straddling) blocks only: the
+    # diagonal blocks of a causal/windowed schedule are processed as static
+    # row stripes x a dynamic live kv sub-tile range, skipping the dead
+    # triangle at (block_q_inner x block_kv_inner) granularity. None = no
+    # striping (whole block_q). Interior blocks never stripe.
+    block_q_inner: int | None = None
     # heads packed per fwd grid step (amortizes the ~1.5 us fixed
     # per-grid-step cost — decisive when seqlen <= block and each (b, h)
     # cell is a single tiny step); must cover whole GQA groups, snapped in
@@ -51,19 +57,32 @@ class BlockSizes:
     @classmethod
     def for_shape(cls, seqlen_q: int, seqlen_k: int, head_dim: int,
                   n_heads: int = 1, n_kv_heads: int | None = None,
+                  causal: bool = False, segmented: bool = False,
                   ) -> "BlockSizes":
         """Pick block sizes for a given problem shape.
 
         The analogue of the per-head_dim tile tables in the reference launch
-        templates: hdim128 -> 128x64, hdim64 -> 128x128 there; on TPU the MXU
-        is 128x128 so we favour larger tiles, clamped so tiny problems don't
-        over-pad.
+        templates (hdim128 -> 128x64, hdim64 -> 128x128 there). Forward table
+        measured on a TPU v5e at B=4 H=32 D=128 bf16 (tools/tune_r5*.py,
+        round 5); the decisive structure is the ONE-SHOT regime: when the
+        whole K/V sequence fits one block (block_kv = sk), the online-softmax
+        state stays in SSA (no VMEM scratch, no cross-step reduction dim) and
+        K/V stream through block_kv_inner-wide sub-tiles — measured 84-89%
+        SOL at seq 2k-8k dense vs 65-71% for the classic square-block grid.
+        Above 8k the K/V block no longer fits VMEM and the grid path returns
+        with the widest block that compiles, (1024, 2048, inner 1024) -> 75%.
 
-        ``n_heads``/``n_kv_heads`` (fwd call sites pass them) enable head
-        packing at short sequences: below seq 4k the ~1.5 us fixed
-        per-grid-step cost dominates a step's MXU work, so several heads run
-        per step (small-seq tuning, VERDICT r2 #2). The packed-head count is
-        snapped to whole GQA groups in the fwd wrapper.
+        Causal additionally wants the static diagonal triangle
+        (block_q_inner, flash_fwd._masked_blk): one-cell 2048^2 blocks with
+        256-row stripes measure 67% SOL at 2k causal vs 39% for the square
+        grid. The triangle only pays in the scratch-free one-shot regime —
+        multi-block striping measured slower everywhere — so >= 4k causal
+        keeps the plain 1024^2 grid.
+
+        Head packing (block_h > 1) measured a loss at every seqlen (round 3);
+        the segmented (varlen) path keeps the plain clamped-1024 table —
+        its live ranges are data-dependent, so the one-shot/triangle
+        structure does not apply.
         """
 
         def clamp(block, seqlen):
@@ -72,24 +91,37 @@ class BlockSizes:
                 block //= 2
             return max(block, MIN_BLOCK)
 
-        bq = clamp(1024, seqlen_q)
-        bkv = clamp(1024, seqlen_k)
-        # Head packing measured on-chip (tools/tune_small.py --square, v5e,
-        # round 3): bh=1 beats bh in {2,4,8} at EVERY seqlen 512-4096 (e.g.
-        # seq 512 dense: 36.2% SOL at bh=1 vs 28.7/31.2/34.0) — packing
-        # serializes several small matmul+softmax bodies in one grid step
-        # without reducing the bytes DMA'd, and the small-seq regime is
-        # bandwidth-bound, so there is nothing for packing to amortize.
-        # Larger q tiles also lose: 8k at 2048x512 measures 45.9% dense vs
-        # 70.3% at 1024x1024, and 2048x1024 exceeds VMEM. The square
-        # 1024-clamped table below is the measured optimum across the sweep.
-        block_h = 1
-        return cls(
-            block_q=bq,
-            block_kv=bkv,
-            block_h=block_h,
+        bwd = dict(
             block_q_dq=clamp(1024, seqlen_q),
             block_kv_dq=clamp(1024, seqlen_k),
             block_q_dkv=clamp(1024, seqlen_q),
             block_kv_dkv=clamp(1024, seqlen_k),
         )
+        if segmented:
+            return cls(block_q=clamp(1024, seqlen_q),
+                       block_kv=clamp(1024, seqlen_k), **bwd)
+        sk = seqlen_k
+        if causal:
+            if sk <= 512:
+                fwd = dict(block_q=clamp(1024, seqlen_q), block_kv=512)
+            elif sk <= 1024:
+                fwd = dict(block_q=1024, block_kv=1024, block_q_inner=256)
+            elif sk <= 2048:
+                fwd = dict(block_q=2048, block_kv=2048,
+                           block_kv_inner=512, block_q_inner=256)
+            else:
+                fwd = dict(block_q=1024, block_kv=1024)
+        else:
+            if sk <= 512:
+                fwd = dict(block_q=clamp(1024, seqlen_q), block_kv=512)
+            elif sk <= 1024:
+                fwd = dict(block_q=1024, block_kv=1024, block_kv_inner=512)
+            elif sk <= 2048:
+                fwd = dict(block_q=2048, block_kv=2048, block_kv_inner=512)
+            elif sk <= 4096:
+                fwd = dict(block_q=512, block_kv=4096, block_kv_inner=1024)
+            elif sk <= 8192:
+                fwd = dict(block_q=256, block_kv=8192, block_kv_inner=512)
+            else:
+                fwd = dict(block_q=1024, block_kv=2048, block_kv_inner=1024)
+        return cls(**fwd, **bwd)

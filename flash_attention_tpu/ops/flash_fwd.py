@@ -41,6 +41,7 @@ from flash_attention_tpu.ops._mxu import matmul_precision as _precision
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
+MIN_BLOCK_F32CAP = 128
 
 
 def normalize_band(causal: bool, window) -> tuple | None:
@@ -65,7 +66,8 @@ def normalize_band(causal: bool, window) -> tuple | None:
 
 
 def _fwd_kernel(
-    # refs (segment refs present only when segmented=True)
+    # refs (segment refs present only when segmented=True; the m/l/acc
+    # scratch refs only when one_shot=False)
     *refs,
     sm_scale: float,
     causal: bool,
@@ -77,39 +79,61 @@ def _fwd_kernel(
     block_q: int,
     block_kv: int,
     block_kv_inner: int,
+    block_q_inner: int,
     block_h: int,
     group: int,
     empty_lse: float,
     softcap: float | None,
     force_branch: str | None,
+    one_shot: bool,
 ):
     if segmented:
         (lo_ref, hi_ref,  # scalar-prefetch (b, nq): live kv-block range
          q_seg_ref, kv_seg_ref, q_pos_ref, kv_pos_ref,
-         q_ref, k_ref, v_ref, o_ref, lse_ref,
-         m_scr, l_scr, acc_scr) = refs
+         q_ref, k_ref, v_ref, o_ref, lse_ref, *scr) = refs
     else:
-        (q_ref, k_ref, v_ref, o_ref, lse_ref,
-         m_scr, l_scr, acc_scr) = refs
+        (q_ref, k_ref, v_ref, o_ref, lse_ref, *scr) = refs
+    if not one_shot:
+        m_scr, l_scr, acc_scr = scr
 
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     nk = pl.num_programs(3)
+    inner = block_kv_inner
+    nsubs = block_kv // inner
+    rq = block_q_inner
+    nstripes = block_q // rq
+    d = q_ref.shape[-1]
 
-    @pl.when(ki == 0)
-    def _init():
-        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
+    if not one_shot:
+        @pl.when(ki == 0)
+        def _init():
+            # Only lane 0 of m/l is ever read; acc garbage is wiped by
+            # alpha == 0 the moment a row comes alive, but never-alive rows
+            # multiply acc by inv == 0 in the epilogue, and 0 * NaN-garbage
+            # is NaN — so acc does need the zero fill.
+            m_scr[:, :, :1] = jnp.full_like(m_scr[:, :, :1], -jnp.inf)
+            l_scr[:, :, :1] = jnp.zeros_like(l_scr[:, :, :1])
+            acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    def _online_softmax_step(hp, sub, masked):
+    def _online_softmax_step(hp, sub, masked, m_prev, l_prev, acc,
+                             row0=0, rows=None, cw=None):
+        """One (rows, inner) score sub-tile; the online-softmax state
+        (m, l, acc) flows through as SSA values — callers read/write the
+        cross-grid-step scratch once per grid step, not once per sub-tile.
+        ``sub`` may be a python int (unrolled sweeps) or a traced scalar
+        (the bounded fori sweep over a causal/window block's live range);
+        ``row0``/``rows`` select a static q-row stripe of the block (the
+        masked-state striping — full block by default)."""
         # ``hp`` indexes the head packed into this grid step (block_h > 1
-        # amortizes the ~1.5 us fixed per-grid-step cost over several heads'
-        # MXU work — the decisive lever at small seqlens, where one head's
-        # whole attention fits a single block and the fixed cost dominates).
-        inner = block_kv_inner
-        q = q_ref[0, hp]  # (block_q, d)
-        k = k_ref[0, hp // group, sub * inner:(sub + 1) * inner, :]  # (inner, d)
+        # amortizes the fixed per-grid-step cost over several heads' MXU
+        # work; measured a loss on v5e, so the default stays 1).
+        if rows is None:
+            rows = block_q
+        if cw is None:
+            cw = inner  # column width: interior sub-tiling granularity
+        q = q_ref[0, hp, pl.ds(row0, rows), :]  # (rows, d)
+        k = k_ref[0, hp // group, pl.ds(sub * cw, cw), :]  # (cw, d)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=_precision(q.dtype),
@@ -129,17 +153,18 @@ def _fwd_kernel(
         # flash_fwd_kernel.h:241-271). Masked lanes get MASK_VALUE;
         # exp(MASK_VALUE - m) underflows to exactly 0 for any live row, so no
         # second select over the tile is needed.
-        col0 = ki * block_kv + sub * inner  # global col of this sub-tile
+        col0 = ki * block_kv + sub * cw  # global col of this sub-tile
 
         def apply_mask(s):
-            shape = (block_q, inner)
-            sl = slice(sub * inner, (sub + 1) * inner)
+            shape = (rows, cw)
+            sl = pl.ds(sub * cw, cw)
+            rsl = pl.ds(row0, rows)
             if segmented:
-                q_seg = jax.lax.broadcast_in_dim(q_seg_ref[0, 0, :], shape, (0,))
+                q_seg = jax.lax.broadcast_in_dim(q_seg_ref[0, 0, rsl], shape, (0,))
                 kv_seg = jax.lax.broadcast_in_dim(kv_seg_ref[0, 0, sl], shape, (1,))
                 mask = q_seg == kv_seg
                 if causal or band is not None:
-                    q_pos = jax.lax.broadcast_in_dim(q_pos_ref[0, 0, :], shape, (0,))
+                    q_pos = jax.lax.broadcast_in_dim(q_pos_ref[0, 0, rsl], shape, (0,))
                     kv_pos = jax.lax.broadcast_in_dim(kv_pos_ref[0, 0, sl], shape, (1,))
                     if causal:
                         mask &= kv_pos <= q_pos
@@ -163,7 +188,7 @@ def _fwd_kernel(
                 wl, wr = band
                 col_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
                 row_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-                rel = ((col0 + col_ids) - (qi * block_q + row_ids)
+                rel = ((col0 + col_ids) - (qi * block_q + row0 + row_ids)
                        - (seqlen_k - seqlen_q))
                 mask = None
                 if wr is not None:
@@ -182,42 +207,80 @@ def _fwd_kernel(
             s = apply_mask(s)
 
         # ---- online softmax ----
-        # all row statistics live on the (block_q, 1) leading lane of the
-        # scratch; only that lane is read or written per step
-        m_prev = m_scr[hp, :, :1]
-        l_prev = l_scr[hp, :, :1]
         m_curr = jnp.max(s, axis=-1, keepdims=True)  # (block_q, 1)
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)              # (block_q, 1)
         p = jnp.exp(s - m_next)
-        # Fully-masked rows (m == MASK_VALUE) would give p == exp(0) == 1;
-        # guard on the (block_q, 1) row vector instead of the full tile. Any
-        # garbage in acc from a dead phase is wiped by alpha == 0 the moment
-        # the row comes alive, and rows dead to the end have l == 0 which
-        # zeroes the epilogue output.
-        row_alive = m_next > MASK_VALUE * 0.5
-        psum = jnp.where(row_alive, jnp.sum(p, axis=-1, keepdims=True), 0.0)
+        if masked:
+            # Fully-masked rows (m == MASK_VALUE) would give p == exp(0) == 1;
+            # guard on the (block_q, 1) row vector instead of the full tile.
+            # Rows dead to the end keep l == 0, which zeroes the epilogue
+            # output. Interior (unmasked) blocks have every lane live, so
+            # they skip the guard.
+            row_alive = m_next > MASK_VALUE * 0.5
+            psum = jnp.where(row_alive, jnp.sum(p, axis=-1, keepdims=True), 0.0)
+        else:
+            psum = jnp.sum(p, axis=-1, keepdims=True)
         l_next = alpha * l_prev + psum
 
-        m_scr[hp, :, :1] = m_next
-        l_scr[hp, :, :1] = l_next
-
-        v = v_ref[0, hp // group, sub * inner:(sub + 1) * inner, :]  # (inner, d)
+        v = v_ref[0, hp // group, pl.ds(sub * cw, cw), :]  # (cw, d)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_precision(v.dtype),
         )
-        acc_scr[hp] = acc_scr[hp] * alpha + pv
+        return m_next, l_next, acc * alpha + pv
 
-    def _run(masked):
+    def _state_init(rows):
+        return (jnp.full((rows, 1), -jnp.inf, jnp.float32),
+                jnp.zeros((rows, 1), jnp.float32),
+                jnp.zeros((rows, d), jnp.float32))
+
+    def _state_load(hp, row0=0, rows=None):
+        rows = block_q if rows is None else rows
+        if one_shot:
+            return _state_init(rows)
+        rsl = pl.ds(row0, rows)
+        return m_scr[hp, rsl, :1], l_scr[hp, rsl, :1], acc_scr[hp, rsl, :]
+
+    def _state_save(hp, m, l, acc, row0=0, rows=None):
+        rows = block_q if rows is None else rows
+        if one_shot:
+            _store_one(hp, m, l, acc, row0, rows)
+        else:
+            rsl = pl.ds(row0, rows)
+            m_scr[hp, rsl, :1] = m
+            l_scr[hp, rsl, :1] = l
+            acc_scr[hp, rsl, :] = acc
+
+    def _store_one(hp, m, l, acc, row0=0, rows=None):
+        rows = block_q if rows is None else rows
+        alive = l > 0.0
+        inv = jnp.where(alive, 1.0 / jnp.where(alive, l, 1.0), 0.0)
+        o_ref[0, hp, pl.ds(row0, rows), :] = (acc * inv).astype(o_ref.dtype)
+        lse = jnp.where(alive, m + jnp.log(jnp.where(alive, l, 1.0)),
+                        empty_lse)
+        # LSE is stored (b, h, 8, sq): q rows on lanes, 8 broadcast
+        # sublanes (the minimum f32 tile). One (block_q, 1) ->
+        # (8, block_q) relayout per q block; 16x less stream traffic in
+        # bwd than a 128-lane broadcast. The wrapper returns sublane 0 as
+        # the reference's dense (b, h, sq) `l` (flash_api.cpp:187-188).
+        lse_ref[0, hp, :, pl.ds(row0, rows)] = jnp.broadcast_to(
+            lse[:, 0][None, :], (lse_ref.shape[2], rows))
+
+    def _run(masked, n_live=None):
         # Two-level kv tiling: the grid step DMA'd a block_kv-wide K/V block;
         # process it in block_kv_inner-wide sub-tiles (python-unrolled) so the
         # next sub-tile's QK^T (MXU) overlaps this one's softmax (VPU) and the
         # fp32 score tile stays small. The outer (also python-unrolled) loop
-        # runs every head packed into this grid step.
+        # runs every head packed into this grid step. ``n_live`` statically
+        # truncates the sweep (the padded tail block: sub-tiles entirely
+        # beyond seqlen_k contribute nothing and are skipped).
         for hp in range(block_h):
-            for sub in range(block_kv // block_kv_inner):
-                _online_softmax_step(hp, sub, masked)
+            m, l, acc = _state_load(hp)
+            for sub in range(nsubs if n_live is None else n_live):
+                m, l, acc = _online_softmax_step(hp, sub, masked, m, l, acc)
+            _state_save(hp, m, l, acc)
+
 
     # Block-level schedule. Three states: pruned (outside the band — no
     # compute, and the wrapper's clamped index map already elided the DMA),
@@ -246,18 +309,58 @@ def _fwd_kernel(
             interior &= first_col >= last_row + off - wl
         if wr is None or wr > 0:
             interior &= last_col < seqlen_k  # padded tail still needs masking
+
+        # Static causal-diagonal specialization: under plain causal with
+        # sq == sk (off == 0, right bound 0, no left bound, no padded tail)
+        # and square blocks, the masked state is EXACTLY the diagonal blocks
+        # (qi == ki), where q-row stripe ri's live columns are statically
+        # [0, (ri+1)*rq) — so the dead upper-right triangle is skipped with
+        # a fully unrolled (rq x rq)-tile triangle sweep, and only each
+        # stripe's last tile (the one the diagonal crosses) pays the mask.
+        # This is the 2D analogue of the reference's n_masking_steps
+        # (flash_fwd_kernel.h:241-271), resolved at trace time. A dynamic
+        # fori over qi-dependent sub-tile bounds was measured far slower
+        # (8k causal 42% vs 56% SOL base) — Mosaic's loop overhead swamps
+        # the triangle savings — hence static-only, general masked blocks
+        # fall back to the full-width masked sweep.
+        diag_static = (nstripes > 1 and wl is None and wr == 0 and off == 0
+                       and block_q == block_kv
+                       and seqlen_q == block_q * pl.num_programs(2)
+                       and seqlen_k == block_kv * nk)
+
+        def _masked_blk():
+            if not diag_static:
+                _run(True)
+                return
+            for hp in range(block_h):
+                for ri in range(nstripes):
+                    m, l, acc = _state_load(hp, ri * rq, rq)
+                    for sub in range(ri + 1):
+                        # tiles strictly below the diagonal are fully live
+                        m, l, acc = _online_softmax_step(
+                            hp, sub, sub == ri, m, l, acc,
+                            row0=ri * rq, rows=rq, cw=rq)
+                    _state_save(hp, m, l, acc, ri * rq, rq)
+
         need_mask = jnp.logical_not(interior)
+        if force_branch is not None and one_shot:
+            force_branch = None  # debug forcing targets the multi-block path
         if force_branch == "nomask":     # perf-debug: mask-free ceiling
             jax.lax.cond(should_run, functools.partial(_run, False),
                          lambda: None)
         elif force_branch == "mask":     # perf-debug: round-1 behavior
             jax.lax.cond(should_run, functools.partial(_run, True),
                          lambda: None)
+        elif one_shot:
+            # nk == 1: no cross-step state, outputs written by _state_save;
+            # fully-dead q blocks still store (zero rows) via the empty sub
+            # range, so no pruned state exists.
+            _masked_blk()
         else:
             state = jnp.where(should_run, jnp.where(need_mask, 2, 1), 0)
             jax.lax.switch(state, [lambda: None,
                                    functools.partial(_run, False),
-                                   functools.partial(_run, True)])
+                                   _masked_blk])
     elif segmented:
         # Live range from the precomputed per-(batch, q-block) metadata
         # (ops.segments): blocks outside [lo, hi] have no token pair in the
@@ -269,30 +372,25 @@ def _fwd_kernel(
         jax.lax.cond((ki >= lo) & (ki <= hi),
                      functools.partial(_run, True), lambda: None)
     elif seqlen_k != block_kv * nk:
-        # only the padded tail block needs the OOB-column mask
-        jax.lax.cond(ki == nk - 1,
-                     functools.partial(_run, True),
-                     functools.partial(_run, False))
+        # Only the padded tail block needs the OOB-column mask, and only its
+        # first ceil(live_cols / inner) sub-tiles hold real columns — both
+        # bounds are static (the tail block index is nk - 1).
+        n_live = -(-(seqlen_k - (nk - 1) * block_kv) // inner)
+        if one_shot:
+            _run(True, n_live=n_live)
+        else:
+            jax.lax.cond(ki == nk - 1,
+                         functools.partial(_run, True, n_live=n_live),
+                         functools.partial(_run, False))
     else:
         _run(False)
 
-    @pl.when(ki == nk - 1)
-    def _store():
-        for hp in range(block_h):
-            l = l_scr[hp, :, :1]
-            m = m_scr[hp, :, :1]
-            alive = l > 0.0
-            inv = jnp.where(alive, 1.0 / jnp.where(alive, l, 1.0), 0.0)
-            o_ref[0, hp] = (acc_scr[hp] * inv).astype(o_ref.dtype)
-            lse = jnp.where(alive, m + jnp.log(jnp.where(alive, l, 1.0)),
-                            empty_lse)
-            # LSE is stored (b, h, 8, sq): q rows on lanes, 8 broadcast
-            # sublanes (the minimum f32 tile). One (block_q, 1) ->
-            # (8, block_q) relayout per q block; 16x less stream traffic in
-            # bwd than a 128-lane broadcast. The wrapper returns sublane 0 as
-            # the reference's dense (b, h, sq) `l` (flash_api.cpp:187-188).
-            lse_ref[0, hp] = jnp.broadcast_to(
-                lse[:, 0][None, :], lse_ref.shape[2:])
+    if not one_shot:
+        @pl.when(ki == nk - 1)
+        def _store():
+            for hp in range(block_h):
+                _store_one(hp, m_scr[hp, :, :1], l_scr[hp, :, :1],
+                           acc_scr[hp])
 
 
 @functools.partial(
@@ -342,6 +440,21 @@ def flash_fwd(
 
     block_q = min(block_sizes.block_q, sq_pad)
     block_kv = min(block_sizes.block_kv, sk_pad)
+    if q.dtype == jnp.float32:
+        # f32 operands double every block's footprint; the wide bf16-tuned
+        # tiles (block_kv up to 8192) blow VMEM. Cap like flash_bwd's
+        # f32_cap — the f32 path is the fp16-upcast parity path, not the
+        # perf path. Snap down so the cap still divides the (already
+        # padded) sequence lengths.
+
+        def _snap(pad_len, cap):
+            b_ = min(pad_len, cap)
+            while pad_len % b_:
+                b_ -= MIN_BLOCK_F32CAP
+            return b_
+
+        block_q = _snap(sq_pad, min(block_q, 1024))
+        block_kv = _snap(sk_pad, min(block_kv, 1024))
     nq = sq_pad // block_q
     nk = sk_pad // block_kv
     # Head packing: run block_h heads per grid step to amortize the fixed
@@ -469,6 +582,15 @@ def flash_fwd(
         # would silently truncate the sub-tile loop (ADVICE r1). Snap to the
         # largest common divisor (both are 128-multiples, so gcd is too).
         block_kv_inner = math.gcd(block_kv, block_kv_inner)
+    block_q_inner = min(getattr(block_sizes, "block_q_inner", block_q)
+                        or block_q, block_q)
+    if block_q % block_q_inner:
+        block_q_inner = math.gcd(block_q, block_q_inner)
+    # Single-kv-block specialization (VERDICT r2 #2): when the whole K/V
+    # sequence fits one block there is no cross-grid-step softmax state, so
+    # the online-softmax (m, l, acc) stays in SSA values and the m/l/acc
+    # VMEM scratch (and its per-cell init + epilogue re-read) disappears.
+    one_shot = (nk == 1) and not segmented
     kernel = functools.partial(
         _fwd_kernel,
         sm_scale=sm_scale,
@@ -480,14 +602,16 @@ def flash_fwd(
         block_q=block_q,
         block_kv=block_kv,
         block_kv_inner=block_kv_inner,
+        block_q_inner=block_q_inner,
         block_h=block_h,
         group=group,
         empty_lse=empty_lse,
         softcap=softcap,
         force_branch=force_branch,
+        one_shot=one_shot,
     )
 
-    scratch_shapes = [
+    scratch_shapes = [] if one_shot else [
         pltpu.VMEM((block_h, block_q, LANES), jnp.float32),  # running max m
         pltpu.VMEM((block_h, block_q, LANES), jnp.float32),  # running sum l
         pltpu.VMEM((block_h, block_q, d), jnp.float32),      # output accum

@@ -80,10 +80,10 @@ def _slope_time(make, args, n_chain):
 
 def bench_fwd(seqlen, hdim, causal, n_chain):
     shape = (BATCH, seqlen, HEADS, hdim)
-    key = jax.random.PRNGKey(0)
-    q = jax.random.normal(key, shape, jnp.bfloat16)
-    k = jax.random.normal(key, shape, jnp.bfloat16)
-    v = jax.random.normal(key, shape, jnp.bfloat16)
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(kq, shape, jnp.bfloat16)
+    k = jax.random.normal(kk, shape, jnp.bfloat16)
+    v = jax.random.normal(kv, shape, jnp.bfloat16)
 
     def make(n):
         def g(q, k, v):
@@ -104,13 +104,13 @@ def bench_bwd(seqlen, hdim, causal, n_chain):
     utils/plot_kernels.py:139-151): K1 via parts="di", K2 = parts="dq" - K1,
     K3 = total - parts="dq"."""
     shape = (BATCH, seqlen, HEADS, hdim)
-    key = jax.random.PRNGKey(0)
-    q = jax.random.normal(key, shape, jnp.bfloat16)
-    k = jax.random.normal(key, shape, jnp.bfloat16)
-    v = jax.random.normal(key, shape, jnp.bfloat16)
+    kq, kk, kv, kd = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = jax.random.normal(kq, shape, jnp.bfloat16)
+    k = jax.random.normal(kk, shape, jnp.bfloat16)
+    v = jax.random.normal(kv, shape, jnp.bfloat16)
     o, lse = jax.jit(fwd, static_argnames=("is_causal",))(
         q, k, v, is_causal=causal)
-    do = jax.random.normal(key, shape, jnp.bfloat16)
+    do = jax.random.normal(kd, shape, jnp.bfloat16)
     args = (q, k, v, o, lse, do)
 
     def make_parts(parts):

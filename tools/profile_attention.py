@@ -32,11 +32,11 @@ def main():
     ap.add_argument("--trace-dir", default="/tmp/fat_trace")
     args = ap.parse_args()
 
-    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
     shape = (args.batch, args.seqlen, args.heads, args.head_dim)
-    q = jax.random.normal(key, shape, jnp.bfloat16)
-    k = jax.random.normal(key, shape, jnp.bfloat16)
-    v = jax.random.normal(key, shape, jnp.bfloat16)
+    q = jax.random.normal(kq, shape, jnp.bfloat16)
+    k = jax.random.normal(kk, shape, jnp.bfloat16)
+    v = jax.random.normal(kv, shape, jnp.bfloat16)
 
     @jax.jit
     def step(q, k, v):

@@ -6,12 +6,12 @@ from flash_attention_tpu import fwd, bwd
 from flash_attention_tpu.ops.configs import BlockSizes
 
 B,S,H,D = 4,8192,32,128
-key = jax.random.PRNGKey(0)
-q = jax.random.normal(key, (B,S,H,D), jnp.bfloat16)
-k = jax.random.normal(key, (B,S,H,D), jnp.bfloat16)
-v = jax.random.normal(key, (B,S,H,D), jnp.bfloat16)
+kq, kk, kv, kd = jax.random.split(jax.random.PRNGKey(0), 4)
+q = jax.random.normal(kq, (B,S,H,D), jnp.bfloat16)
+k = jax.random.normal(kk, (B,S,H,D), jnp.bfloat16)
+v = jax.random.normal(kv, (B,S,H,D), jnp.bfloat16)
 o, lse = jax.jit(lambda q,k,v: fwd(q,k,v))(q,k,v)
-do = jax.random.normal(key, (B,S,H,D), jnp.bfloat16)
+do = jax.random.normal(kd, (B,S,H,D), jnp.bfloat16)
 
 def chain(n, causal, bs):
     def g(q,k,v,o,lse,do):

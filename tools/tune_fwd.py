@@ -6,10 +6,10 @@ from flash_attention_tpu import fwd
 from flash_attention_tpu.ops.configs import BlockSizes
 
 B,S,H,D = 4,8192,32,128
-key = jax.random.PRNGKey(0)
-q = jax.random.normal(key, (B,S,H,D), jnp.bfloat16)
-k = jax.random.normal(key, (B,S,H,D), jnp.bfloat16)
-v = jax.random.normal(key, (B,S,H,D), jnp.bfloat16)
+kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+q = jax.random.normal(kq, (B,S,H,D), jnp.bfloat16)
+k = jax.random.normal(kk, (B,S,H,D), jnp.bfloat16)
+v = jax.random.normal(kv, (B,S,H,D), jnp.bfloat16)
 
 def chain(n, causal, bs):
     def g(q,k,v):

@@ -17,19 +17,18 @@ MIN_BLOCK = 128
 
 @dataclasses.dataclass(frozen=True)
 class BlockSizes:
-    # forward (tuned on TPU v5e at B=4 H=32 D=128 seq=8192: 1024x1024 hits
-    # ~68% SOL vs 28% at 256x512; tiles beyond ~8MB of fp32 scores fail to
-    # compile, so 1024/1024 is also near the ceiling)
+    # forward defaults (the for_shape table below picks measured configs
+    # per shape; 1024x1024 is the safe generic grid — wide one-shot blocks
+    # need block_kv_inner to keep the fp32 score tile in VMEM)
     block_q: int = 1024
     block_kv: int = 1024
     # inner sub-tile of block_kv processed per online-softmax update (None =
     # whole block); lets the next sub-tile's MXU work overlap this one's VPU
     block_kv_inner: int | None = None
-    # q-row stripe width for MASKED (band-straddling) blocks only: the
-    # diagonal blocks of a causal/windowed schedule are processed as static
-    # row stripes x a dynamic live kv sub-tile range, skipping the dead
-    # triangle at (block_q_inner x block_kv_inner) granularity. None = no
-    # striping (whole block_q). Interior blocks never stripe.
+    # q-row stripe width for the static causal-diagonal specialization
+    # (flash_fwd diag_static): under plain causal with square blocks, the
+    # diagonal blocks unroll as (block_q_inner)^2 tiles covering only the
+    # live triangle. None = off. Interior blocks never stripe.
     block_q_inner: int | None = None
     # heads packed per fwd grid step (amortizes the ~1.5 us fixed
     # per-grid-step cost — decisive when seqlen <= block and each (b, h)
@@ -72,12 +71,14 @@ class BlockSizes:
         Above 8k the K/V block no longer fits VMEM and the grid path returns
         with the widest block that compiles, (1024, 2048, inner 1024) -> 75%.
 
-        Causal additionally wants the static diagonal triangle
-        (block_q_inner, flash_fwd._masked_blk): one-cell 2048^2 blocks with
-        256-row stripes measure 67% SOL at 2k causal vs 39% for the square
-        grid. The triangle only pays in the scratch-free one-shot regime —
-        multi-block striping measured slower everywhere — so >= 4k causal
-        keeps the plain 1024^2 grid.
+        Causal wants two specializations on top: the static diagonal
+        triangle at one-cell shapes (block_q_inner, flash_fwd diag_static:
+        2048^2 blocks with 256-row stripes measure 67% SOL at 2k causal vs
+        39% for the square grid), and the one-shot BAND SWITCH at 4k-8k
+        (flash_fwd._band_branch: a lax.switch over static per-band live
+        kv sub-ranges — 8k causal 74% vs 56%). Neither helps the
+        multi-block scratch regime (measured), so 16k+ causal keeps the
+        plain grid.
 
         Head packing (block_h > 1) measured a loss at every seqlen (round 3);
         the segmented (varlen) path keeps the plain clamped-1024 table —
@@ -100,15 +101,37 @@ class BlockSizes:
         if segmented:
             return cls(block_q=clamp(1024, seqlen_q),
                        block_kv=clamp(1024, seqlen_k), **bwd)
+        def pick_inner(bkv: int, target: int) -> int | None:
+            """Widest 128-multiple divisor of bkv that is <= target, with a
+            bounded unroll (the one-shot sweeps and band branches are
+            python-unrolled over bkv // inner sub-tiles). Non-pow2 padded
+            lengths (e.g. 8000 -> 8064 = 63*128) otherwise gcd-snap the
+            inner tile down to 128, which both runs slowly and explodes the
+            traced program. None = no acceptable divisor."""
+            for inner in range(target, 255, -MIN_BLOCK):
+                if bkv % inner == 0 and bkv // inner <= 16:
+                    return inner
+            return None  # (a 128-wide inner measured ~2x slow: fall back)
+
         sk = seqlen_k
+        # The one-shot / wide-KV rows want block_kv == the padded sequence;
+        # compute the pad the wrapper will produce for that choice.
+        sk_pad = -(-sk // MIN_BLOCK) * MIN_BLOCK
         if causal:
             if sk <= 512:
                 fwd = dict(block_q=clamp(1024, seqlen_q), block_kv=512)
             elif sk <= 1024:
                 fwd = dict(block_q=1024, block_kv=1024, block_q_inner=256)
-            elif sk <= 2048:
+            elif sk <= 2048 and pick_inner(sk_pad, 512):
                 fwd = dict(block_q=2048, block_kv=2048,
-                           block_kv_inner=512, block_q_inner=256)
+                           block_kv_inner=pick_inner(sk_pad, 512),
+                           block_q_inner=256)
+            elif sk <= 8192 and pick_inner(sk_pad, 1024):
+                # one-shot band switch (flash_fwd._band_branch): ~the dense
+                # one-shot rate at exact causal FLOPs (8k: 74% vs 56% SOL)
+                bq = 512 if sk <= 4096 else 256
+                fwd = dict(block_q=bq, block_kv=8192,
+                           block_kv_inner=pick_inner(sk_pad, 1024))
             else:
                 fwd = dict(block_q=1024, block_kv=1024)
         else:
@@ -116,12 +139,15 @@ class BlockSizes:
                 fwd = dict(block_q=clamp(1024, seqlen_q), block_kv=512)
             elif sk <= 1024:
                 fwd = dict(block_q=1024, block_kv=1024, block_kv_inner=512)
-            elif sk <= 2048:
-                fwd = dict(block_q=2048, block_kv=2048, block_kv_inner=512)
-            elif sk <= 4096:
-                fwd = dict(block_q=512, block_kv=4096, block_kv_inner=1024)
-            elif sk <= 8192:
-                fwd = dict(block_q=256, block_kv=8192, block_kv_inner=512)
+            elif sk <= 2048 and pick_inner(sk_pad, 512):
+                fwd = dict(block_q=2048, block_kv=2048,
+                           block_kv_inner=pick_inner(sk_pad, 512))
+            elif sk <= 4096 and pick_inner(sk_pad, 1024):
+                fwd = dict(block_q=512, block_kv=4096,
+                           block_kv_inner=pick_inner(sk_pad, 1024))
+            elif sk <= 8192 and pick_inner(sk_pad, 1024):
+                fwd = dict(block_q=256, block_kv=8192,
+                           block_kv_inner=pick_inner(sk_pad, 1024))
             else:
                 fwd = dict(block_q=1024, block_kv=2048, block_kv_inner=1024)
         return cls(**fwd, **bwd)

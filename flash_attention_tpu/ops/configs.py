@@ -36,12 +36,17 @@ class BlockSizes:
     # the wrapper
     block_h: int = 1
     # backward dq kernel: q-block rows owned per grid cell, kv streamed
-    # (1024x1024 measured: dense bwd ~88% SOL, causal ~70%)
     block_q_dq: int = 1024
     block_kv_dq: int = 1024
+    # inner kv sub-tile of the dq sweep (None = whole block); bounds the
+    # fp32 score tile so block_kv_dq can grow to the whole sequence (the
+    # one-shot regime — see flash_fwd)
+    block_kv_dq_inner: int | None = None
     # backward dkv kernel: kv-block cols owned per grid cell, q streamed
     block_q_dkv: int = 1024
     block_kv_dkv: int = 1024
+    # inner q sub-tile of the dkv sweep (mirror of block_kv_dq_inner)
+    block_q_dkv_inner: int | None = None
 
     def __post_init__(self):
         for f in dataclasses.fields(self):
@@ -92,15 +97,6 @@ class BlockSizes:
                 block //= 2
             return max(block, MIN_BLOCK)
 
-        bwd = dict(
-            block_q_dq=clamp(1024, seqlen_q),
-            block_kv_dq=clamp(1024, seqlen_k),
-            block_q_dkv=clamp(1024, seqlen_q),
-            block_kv_dkv=clamp(1024, seqlen_k),
-        )
-        if segmented:
-            return cls(block_q=clamp(1024, seqlen_q),
-                       block_kv=clamp(1024, seqlen_k), **bwd)
         def pick_inner(bkv: int, target: int) -> int | None:
             """Widest 128-multiple divisor of bkv that is <= target, with a
             bounded unroll (the one-shot sweeps and band branches are
@@ -117,6 +113,26 @@ class BlockSizes:
         # The one-shot / wide-KV rows want block_kv == the padded sequence;
         # compute the pad the wrapper will produce for that choice.
         sk_pad = -(-sk // MIN_BLOCK) * MIN_BLOCK
+
+        bwd = dict(
+            block_q_dq=clamp(1024, seqlen_q),
+            block_kv_dq=clamp(1024, seqlen_k),
+            block_q_dkv=clamp(1024, seqlen_q),
+            block_kv_dkv=clamp(1024, seqlen_k),
+        )
+        if segmented:
+            return cls(block_q=clamp(1024, seqlen_q),
+                       block_kv=clamp(1024, seqlen_k), **bwd)
+        # dq streams kv like the forward and gets the same wide one-shot +
+        # band-switch treatment (measured: causal 4k 40 -> 44%, 8k 48 -> 53%
+        # useful-FLOPs SOL; dense ~ +1%). dkv's mirrored structure LOSES wide
+        # (its transposed matmuls need the classic block shapes, and the
+        # (inner_q x block_kv) fp32 intermediates blow VMEM) — it keeps the
+        # 1024^2 grid.
+        if sk <= 8192 and pick_inner(sk_pad, 1024):
+            bwd.update(block_q_dq=512 if sk <= 4096 else 256,
+                       block_kv_dq=8192,
+                       block_kv_dq_inner=pick_inner(sk_pad, 1024))
         if causal:
             if sk <= 512:
                 fwd = dict(block_q=clamp(1024, seqlen_q), block_kv=512)

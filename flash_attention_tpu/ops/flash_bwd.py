@@ -27,6 +27,7 @@ mask and contribute nothing.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +48,7 @@ def _mask_scores(
     s, qi, ki, block_q, block_kv, *, causal, segmented,
     seqlen_q, seqlen_k, n_kv_blocks, band=None,
     q_seg=None, kv_seg=None, q_pos=None, kv_pos=None,
+    col0=None, row0=None,
 ):
     """Set masked-out lanes of the (block_q, block_kv) score tile to
     MASK_VALUE. p = exp(s - lse) then underflows to exactly 0 on masked
@@ -60,8 +62,14 @@ def _mask_scores(
     per-token positions alongside the causal position compare.
 
     Segment/position args are 1D (block,) vectors (already sliced from their
-    (b, 8, s) refs)."""
+    (b, 8, s) refs). ``col0``/``row0`` override the global coordinates of
+    s[0, 0] (sub-tile sweeps pass block-base + sub offsets); they default to
+    the whole-block coordinates."""
     s_shape = s.shape
+    if col0 is None:
+        col0 = ki * block_kv
+    if row0 is None:
+        row0 = qi * block_q
 
     def apply_mask(s):
         if segmented:
@@ -86,7 +94,7 @@ def _mask_scores(
             wl, wr = band
             col_ids = jax.lax.broadcasted_iota(jnp.int32, s_shape, 1)
             row_ids = jax.lax.broadcasted_iota(jnp.int32, s_shape, 0)
-            rel = ((ki * block_kv + col_ids) - (qi * block_q + row_ids)
+            rel = ((col0 + col_ids) - (row0 + row_ids)
                    - (seqlen_k - seqlen_q))
             mask = None
             if wr is not None:
@@ -95,7 +103,7 @@ def _mask_scores(
                 lo = rel >= -wl
                 mask = lo if mask is None else mask & lo
             if wr is None or wr > 0:
-                mask &= (ki * block_kv + col_ids) < seqlen_k
+                mask &= (col0 + col_ids) < seqlen_k
         elif causal:
             # col >= seqlen_k implies col - row > off for every real row, so
             # one compare covers the padding mask too. (Pad q rows may pass
@@ -103,10 +111,10 @@ def _mask_scores(
             col_ids = jax.lax.broadcasted_iota(jnp.int32, s_shape, 1)
             row_ids = jax.lax.broadcasted_iota(jnp.int32, s_shape, 0)
             off = seqlen_k - seqlen_q
-            mask = (ki * block_kv + col_ids) - (qi * block_q + row_ids) <= off
+            mask = (col0 + col_ids) - (row0 + row_ids) <= off
         else:
             col_ids = jax.lax.broadcasted_iota(jnp.int32, s_shape, 1)
-            mask = (ki * block_kv + col_ids) < seqlen_k
+            mask = (col0 + col_ids) < seqlen_k
         return jnp.where(mask, s, MASK_VALUE)
 
     # Apply unconditionally: a dynamic lax.cond here turns the enclosing
@@ -158,53 +166,54 @@ def _dq_kernel(
     seqlen_k: int,
     block_q: int,
     block_kv: int,
+    block_kv_inner: int,
     softcap: float | None,
+    one_shot: bool,
 ):
+    """[K2] dQ: the same grid/state structure as the forward kernel — kv
+    streamed innermost, dq accumulator as the cross-step state — so it gets
+    the same three specializations (see flash_fwd._fwd_kernel): SSA one-shot
+    when the whole kv sequence fits one block (no VMEM scratch), kv sub-tiles
+    (block_kv_inner) bounding the fp32 score tile so block_kv can grow wide,
+    and the static (q-band, kv-block) switch pruning causal/window work at
+    trace time."""
     if segmented:
         (lo_ref, hi_ref,  # scalar-prefetch (b, nq): live kv-block range
          q_seg_ref, kv_seg_ref, q_pos_ref, kv_pos_ref,
          q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-         dq_ref, acc_scr) = refs
+         dq_ref, *scr) = refs
     else:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-         dq_ref, acc_scr) = refs
+         dq_ref, *scr) = refs
+    if not one_shot:
+        (acc_scr,) = scr
 
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     nk = pl.num_programs(3)
+    inner = block_kv_inner
+    nsubs = block_kv // inner
+    d = q_ref.shape[-1]
 
-    @pl.when(ki == 0)
-    def _init():
-        acc_scr[...] = jnp.zeros_like(acc_scr)
+    if not one_shot:
+        @pl.when(ki == 0)
+        def _init():
+            acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    if band is not None and not segmented:
-        # skip kv blocks entirely outside the (causal and/or window) band
-        wl, wr = band
-        off = seqlen_k - seqlen_q
-        should_run = True
-        if wr is not None:
-            should_run &= ki * block_kv <= qi * block_q + block_q - 1 + off + wr
-        if wl is not None:
-            should_run &= (ki * block_kv + block_kv - 1
-                           >= qi * block_q + off - wl)
-    elif segmented:
-        # segment-aware block skipping (ops.segments; VERDICT r1 weak #5)
-        bi = pl.program_id(0)
-        should_run = (ki >= lo_ref[bi, qi]) & (ki <= hi_ref[bi, qi])
-    else:
-        should_run = True
-
-    @pl.when(should_run)
-    def _run():
-        q = q_ref[0, 0]    # (bq, d)
-        k = k_ref[0, 0]    # (bkv, d)
-        v = v_ref[0, 0]
-        do = do_ref[0, 0]  # (bq, d)
-        # lse/di are (bq,) lane vectors; broadcast along rows (one relayout).
+    def _broadcast_rowstats():
+        # lse/di are (bq,) lane vectors; broadcast along rows — column-
+        # constant, so ONE relayout serves every sub-tile of a sweep.
         lse = jax.lax.broadcast_in_dim(
-            lse_ref[0, 0, 0, :], (block_q, block_kv), (0,))
+            lse_ref[0, 0, 0, :], (block_q, inner), (0,))
         di = jax.lax.broadcast_in_dim(
-            di_ref[0, 0, 0, :], (block_q, block_kv), (0,))
+            di_ref[0, 0, 0, :], (block_q, inner), (0,))
+        return lse, di
+
+    def _step(sub, masked, acc, lse, di):
+        q = q_ref[0, 0]    # (bq, d)
+        do = do_ref[0, 0]
+        k = k_ref[0, 0, pl.ds(sub * inner, inner), :]  # (inner, d)
+        v = v_ref[0, 0, pl.ds(sub * inner, inner), :]
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
@@ -214,16 +223,19 @@ def _dq_kernel(
             # recompute the fwd capping; keep tanh for the chain-rule factor
             t = jnp.tanh(s * (1.0 / softcap))
             s = softcap * t
-        need_pos = segmented and (causal or band is not None)
-        s = _mask_scores(
-            s, qi, ki, block_q, block_kv,
-            causal=causal, band=band, segmented=segmented,
-            seqlen_q=seqlen_q, seqlen_k=seqlen_k, n_kv_blocks=nk,
-            q_seg=q_seg_ref[0, 0, :] if segmented else None,
-            kv_seg=kv_seg_ref[0, 0, :] if segmented else None,
-            q_pos=q_pos_ref[0, 0, :] if need_pos else None,
-            kv_pos=kv_pos_ref[0, 0, :] if need_pos else None,
-        )
+        if masked:
+            need_pos = segmented and (causal or band is not None)
+            sl = pl.ds(sub * inner, inner)
+            s = _mask_scores(
+                s, qi, ki, block_q, block_kv,
+                causal=causal, band=band, segmented=segmented,
+                seqlen_q=seqlen_q, seqlen_k=seqlen_k, n_kv_blocks=nk,
+                q_seg=q_seg_ref[0, 0, :] if segmented else None,
+                kv_seg=kv_seg_ref[0, 0, sl] if segmented else None,
+                q_pos=q_pos_ref[0, 0, :] if need_pos else None,
+                kv_pos=kv_pos_ref[0, 0, sl] if need_pos else None,
+                col0=ki * block_kv + sub * inner,
+            )
         p = jnp.exp(s - lse)  # normalized probs; masked lanes underflow to 0
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
@@ -234,14 +246,107 @@ def _dq_kernel(
             # d(cap·tanh(x/cap))/dx = 1 - tanh²; masked lanes have p = 0 so
             # their (garbage-t) product is still exactly 0
             ds = ds * (1.0 - t * t)
-        acc_scr[...] += jax.lax.dot_general(
+        return acc + jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_precision(k.dtype),
         )
 
-    @pl.when(ki == nk - 1)
-    def _store():
-        dq_ref[0, 0] = (acc_scr[...] * sm_scale).astype(dq_ref.dtype)
+    def _acc_load():
+        if one_shot:
+            return jnp.zeros((block_q, d), jnp.float32)
+        return acc_scr[...]
+
+    def _acc_save(acc):
+        if one_shot:
+            dq_ref[0, 0] = (acc * sm_scale).astype(dq_ref.dtype)
+        else:
+            acc_scr[...] = acc
+
+    def _run(masked, n_live=None):
+        acc = _acc_load()
+        lse, di = _broadcast_rowstats()
+        for sub in range(nsubs if n_live is None else n_live):
+            acc = _step(sub, masked, acc, lse, di)
+        _acc_save(acc)
+
+    if band is not None and not segmented:
+        wl, wr = band
+        off = seqlen_k - seqlen_q
+        should_run = True
+        if wr is not None:
+            should_run &= ki * block_kv <= qi * block_q + block_q - 1 + off + wr
+        if wl is not None:
+            should_run &= (ki * block_kv + block_kv - 1
+                           >= qi * block_q + off - wl)
+
+        # static (q-band, kv-block) switch — see flash_fwd for the analysis
+        nq_static = pl.num_programs(2)
+        band_switch = nq_static > 1 and nk <= 2
+        gsubs = nsubs * nk
+
+        def _band_branch(b, ki_s, gq):
+            lo_row = b * gq * block_q
+            hi_row = min((b + 1) * gq, nq_static) * block_q - 1
+            glo, ghi = 0, gsubs
+            if wr is not None:
+                ghi = min(gsubs, max(0, (hi_row + off + wr) // inner + 1))
+            if wr is None or wr > 0:
+                ghi = min(ghi, -(-seqlen_k // inner))
+            if wl is not None:
+                glo = min(gsubs, max(0, (lo_row + off - wl) // inner))
+            sub_lo = min(max(glo - ki_s * nsubs, 0), nsubs)
+            sub_hi = min(max(ghi - ki_s * nsubs, 0), nsubs)
+            if sub_lo >= sub_hi and not one_shot:
+                return lambda: None
+
+            def branch():
+                acc = _acc_load()
+                lse, di = _broadcast_rowstats()
+                for sub in range(sub_lo, sub_hi):
+                    col_first = (ki_s * nsubs + sub) * inner
+                    col_last = col_first + inner - 1
+                    live = col_last < seqlen_k
+                    if wr is not None:
+                        live &= col_last <= lo_row + off + wr
+                    if wl is not None:
+                        live &= col_first >= hi_row + off - wl
+                    acc = _step(sub, not live, acc, lse, di)
+                _acc_save(acc)
+            return branch
+
+        if band_switch:
+            gq = -(-nq_static // 8)
+            jax.lax.switch((qi // gq) * nk + ki,
+                           [_band_branch(b, k_, gq)
+                            for b in range(-(-nq_static // gq))
+                            for k_ in range(nk)])
+        elif one_shot:
+            _run(True)
+        else:
+            jax.lax.cond(should_run, functools.partial(_run, True),
+                         lambda: None)
+    elif segmented:
+        # segment-aware block skipping (ops.segments; VERDICT r1 weak #5)
+        bi = pl.program_id(0)
+        should_run = (ki >= lo_ref[bi, qi]) & (ki <= hi_ref[bi, qi])
+        jax.lax.cond(should_run, functools.partial(_run, True), lambda: None)
+    elif seqlen_k != block_kv * nk:
+        # only the padded tail block needs masking, and only its first
+        # ceil(live / inner) sub-tiles hold real columns (both static)
+        n_live = -(-(seqlen_k - (nk - 1) * block_kv) // inner)
+        if one_shot:
+            _run(True, n_live=n_live)
+        else:
+            jax.lax.cond(ki == nk - 1,
+                         functools.partial(_run, True, n_live=n_live),
+                         functools.partial(_run, False))
+    else:
+        _run(False)
+
+    if not one_shot:
+        @pl.when(ki == nk - 1)
+        def _store():
+            dq_ref[0, 0] = (acc_scr[...] * sm_scale).astype(dq_ref.dtype)
 
 
 def _dkv_kernel(
@@ -254,56 +359,55 @@ def _dkv_kernel(
     seqlen_k: int,
     block_q: int,
     block_kv: int,
+    block_q_inner: int,
     softcap: float | None,
+    one_shot: bool,
 ):
+    """[K3] dK/dV: the mirror of _dq_kernel — q streamed innermost (after
+    the GQA group dim), dk/dv accumulators as the cross-step state. Same
+    three specializations, mirrored: SSA one-shot when the whole q sequence
+    is one block AND the GQA group is 1, q sub-tiles (block_q_inner)
+    bounding the fp32 score tile so block_q can grow wide, and a static
+    (kv-band, q-block) switch bounding the live q sub-range per kv band.
+    Padded q rows are zeros (p finite, do = 0, di = 0), so every skipped or
+    unmasked treatment of them contributes exactly 0 to dk/dv."""
     if segmented:
         (qlo_ref, qhi_ref,  # scalar-prefetch (b, nk): live q-block range
          q_seg_ref, kv_seg_ref, q_pos_ref, kv_pos_ref,
          q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-         dk_ref, dv_ref, dk_scr, dv_scr) = refs
+         dk_ref, dv_ref, *scr) = refs
     else:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-         dk_ref, dv_ref, dk_scr, dv_scr) = refs
+         dk_ref, dv_ref, *scr) = refs
+    if not one_shot:
+        dk_scr, dv_scr = scr
 
     ki = pl.program_id(2)
     g = pl.program_id(3)
     qi = pl.program_id(4)
+    nk_static = pl.num_programs(2)
     ngroup = pl.num_programs(3)
     nq = pl.num_programs(4)
+    inner = block_q_inner
+    nsubs = block_q // inner
+    d = q_ref.shape[-1]
 
-    @pl.when((g == 0) & (qi == 0))
-    def _init():
-        dk_scr[...] = jnp.zeros_like(dk_scr)
-        dv_scr[...] = jnp.zeros_like(dv_scr)
+    if not one_shot:
+        @pl.when((g == 0) & (qi == 0))
+        def _init():
+            dk_scr[...] = jnp.zeros_like(dk_scr)
+            dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    if band is not None and not segmented:
-        # Skip q blocks entirely outside the band for this kv block: a col c
-        # is seen by rows r with c - off - right <= r <= c - off + left.
-        wl, wr = band
-        off = seqlen_k - seqlen_q
-        should_run = True
-        if wr is not None:
-            should_run &= (qi * block_q + block_q - 1
-                           >= ki * block_kv - off - wr)
-        if wl is not None:
-            should_run &= (qi * block_q
-                           <= ki * block_kv + block_kv - 1 - off + wl)
-    elif segmented:
-        bi = pl.program_id(0)
-        should_run = (qi >= qlo_ref[bi, ki]) & (qi <= qhi_ref[bi, ki])
-    else:
-        should_run = True
-
-    @pl.when(should_run)
-    def _run():
-        q = q_ref[0, 0]
+    def _step(sub, masked, dk, dv):
         k = k_ref[0, 0]
         v = v_ref[0, 0]
-        do = do_ref[0, 0]
+        q = q_ref[0, 0, pl.ds(sub * inner, inner), :]   # (inner, d)
+        do = do_ref[0, 0, pl.ds(sub * inner, inner), :]
+        rsl = pl.ds(sub * inner, inner)
         lse = jax.lax.broadcast_in_dim(
-            lse_ref[0, 0, 0, :], (block_q, block_kv), (0,))
+            lse_ref[0, 0, 0, rsl], (inner, block_kv), (0,))
         di = jax.lax.broadcast_in_dim(
-            di_ref[0, 0, 0, :], (block_q, block_kv), (0,))
+            di_ref[0, 0, 0, rsl], (inner, block_kv), (0,))
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
@@ -312,18 +416,20 @@ def _dkv_kernel(
         if softcap is not None:
             t = jnp.tanh(s * (1.0 / softcap))
             s = softcap * t
-        need_pos = segmented and (causal or band is not None)
-        s = _mask_scores(
-            s, qi, ki, block_q, block_kv,
-            causal=causal, band=band, segmented=segmented,
-            seqlen_q=seqlen_q, seqlen_k=seqlen_k,
-            n_kv_blocks=pl.num_programs(2),
-            q_seg=q_seg_ref[0, 0, :] if segmented else None,
-            kv_seg=kv_seg_ref[0, 0, :] if segmented else None,
-            q_pos=q_pos_ref[0, 0, :] if need_pos else None,
-            kv_pos=kv_pos_ref[0, 0, :] if need_pos else None,
-        )
-        p = jnp.exp(s - lse)  # (bq, bkv); masked lanes underflow to 0
+        if masked:
+            need_pos = segmented and (causal or band is not None)
+            s = _mask_scores(
+                s, qi, ki, block_q, block_kv,
+                causal=causal, band=band, segmented=segmented,
+                seqlen_q=seqlen_q, seqlen_k=seqlen_k,
+                n_kv_blocks=nk_static,
+                q_seg=q_seg_ref[0, 0, rsl] if segmented else None,
+                kv_seg=kv_seg_ref[0, 0, :] if segmented else None,
+                q_pos=q_pos_ref[0, 0, rsl] if need_pos else None,
+                kv_pos=kv_pos_ref[0, 0, :] if need_pos else None,
+                row0=qi * block_q + sub * inner,
+            )
+        p = jnp.exp(s - lse)  # (inner, bkv); masked lanes underflow to 0
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=_precision(do.dtype),
@@ -334,19 +440,113 @@ def _dkv_kernel(
         # dV += Pᵀ·dO ; dK += dSᵀ·Q  (transposes via dot dimension numbers —
         # the analogue of the reference's transposed smem views,
         # kernel_traits.h:165-204)
-        dv_scr[...] += jax.lax.dot_general(
+        dv = dv + jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_precision(do.dtype),
         )
-        dk_scr[...] += jax.lax.dot_general(
+        dk = dk + jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_precision(q.dtype),
         )
+        return dk, dv
 
-    @pl.when((g == ngroup - 1) & (qi == nq - 1))
-    def _store():
-        dk_ref[0, 0] = (dk_scr[...] * sm_scale).astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+    def _state_load():
+        if one_shot:
+            return (jnp.zeros((block_kv, d), jnp.float32),
+                    jnp.zeros((block_kv, d), jnp.float32))
+        return dk_scr[...], dv_scr[...]
+
+    def _state_save(dk, dv):
+        if one_shot:
+            dk_ref[0, 0] = (dk * sm_scale).astype(dk_ref.dtype)
+            dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+        else:
+            dk_scr[...] = dk
+            dv_scr[...] = dv
+
+    def _run(masked):
+        dk, dv = _state_load()
+        for sub in range(nsubs):
+            dk, dv = _step(sub, masked, dk, dv)
+        _state_save(dk, dv)
+
+    if band is not None and not segmented:
+        # a col c is seen by rows r with c - off - right <= r <= c - off + left
+        wl, wr = band
+        off = seqlen_k - seqlen_q
+        should_run = True
+        if wr is not None:
+            should_run &= (qi * block_q + block_q - 1
+                           >= ki * block_kv - off - wr)
+        if wl is not None:
+            should_run &= (qi * block_q
+                           <= ki * block_kv + block_kv - 1 - off + wl)
+
+        # static (kv-band, q-block) switch — the mirror of _dq_kernel's
+        band_switch = nk_static > 1 and nq <= 2
+        gsubs = nsubs * nq
+        kv_tail_oob = seqlen_k != block_kv * nk_static
+
+        def _band_branch(b, qi_s, gk):
+            lo_col = b * gk * block_kv
+            hi_col = min((b + 1) * gk, nk_static) * block_kv - 1
+            glo, ghi = 0, gsubs
+            if wr is not None:
+                glo = min(gsubs, max(0, (lo_col - off - wr) // inner))
+            if wl is not None:
+                ghi = min(gsubs, max(0, (hi_col - off + wl) // inner + 1))
+            sub_lo = min(max(glo - qi_s * nsubs, 0), nsubs)
+            sub_hi = min(max(ghi - qi_s * nsubs, 0), nsubs)
+            if sub_lo >= sub_hi and not one_shot:
+                return lambda: None
+
+            def branch():
+                dk, dv = _state_load()
+                for sub in range(sub_lo, sub_hi):
+                    row_first = (qi_s * nsubs + sub) * inner
+                    row_last = row_first + inner - 1
+                    # unmasked iff live for every (row, col) pair of the
+                    # band's blocks — incl. real cols only on the kv tail
+                    live = not (kv_tail_oob and hi_col >= seqlen_k)
+                    if wr is not None:
+                        live &= row_first >= hi_col - off - wr
+                    if wl is not None:
+                        live &= row_last <= lo_col - off + wl
+                    dk, dv = _step(sub, not live, dk, dv)
+                _state_save(dk, dv)
+            return branch
+
+        if band_switch:
+            gk = -(-nk_static // 8)
+            jax.lax.switch((ki // gk) * nq + qi,
+                           [_band_branch(b, q_, gk)
+                            for b in range(-(-nk_static // gk))
+                            for q_ in range(nq)])
+        elif one_shot:
+            _run(True)
+        else:
+            jax.lax.cond(should_run, functools.partial(_run, True),
+                         lambda: None)
+    elif segmented:
+        bi = pl.program_id(0)
+        should_run = (qi >= qlo_ref[bi, ki]) & (qi <= qhi_ref[bi, ki])
+        jax.lax.cond(should_run, functools.partial(_run, True), lambda: None)
+    elif seqlen_k != block_kv * nk_static:
+        # the owned kv block's padded tail cols need masking (ki parallel)
+        if one_shot:
+            _run(True)
+        else:
+            jax.lax.cond(ki == nk_static - 1,
+                         functools.partial(_run, True),
+                         functools.partial(_run, False))
+    else:
+        _run(False)
+
+    if not one_shot:
+        @pl.when((g == ngroup - 1) & (qi == nq - 1))
+        def _store():
+            dk_ref[0, 0] = (dk_scr[...] * sm_scale).astype(dk_ref.dtype)
+            dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
 @functools.partial(
@@ -453,6 +653,10 @@ def flash_bwd(
     bq = _snap_block(sq_pad, min(block_sizes.block_q_dq, f32_cap))
     bkv = _snap_block(sk_pad, min(block_sizes.block_kv_dq, f32_cap))
     nq, nk = sq_pad // bq, sk_pad // bkv
+    bkv_inner = min(getattr(block_sizes, "block_kv_dq_inner", bkv) or bkv, bkv)
+    if bkv % bkv_inner:
+        bkv_inner = math.gcd(bkv, bkv_inner)
+    dq_one_shot = (nk == 1) and not segmented
 
     if band is not None and not segmented:
         # clamp streamed kv-block indices into the band's live range so
@@ -484,7 +688,8 @@ def flash_bwd(
     ]
     dq_inputs = [q, k, v, do, lse, di]
     dq_kernel = functools.partial(_dq_kernel, block_q=bq, block_kv=bkv,
-                                  **common)
+                                  block_kv_inner=bkv_inner,
+                                  one_shot=dq_one_shot, **common)
     dq_compiler_params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
     )
@@ -535,7 +740,8 @@ def flash_bwd(
                 out_specs=pl.BlockSpec(
                     (1, 1, bq, d),
                     lambda b_, h_, qi, ki, lo, hi: (b_, h_, qi, 0)),
-                scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+                scratch_shapes=(
+                    [] if dq_one_shot else [pltpu.VMEM((bq, d), jnp.float32)]),
             ),
             out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, d), q.dtype),
             compiler_params=dq_compiler_params,
@@ -549,7 +755,8 @@ def flash_bwd(
             in_specs=dq_in_specs,
             out_specs=pl.BlockSpec((1, 1, bq, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
             out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, d), q.dtype),
-            scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+            scratch_shapes=(
+                [] if dq_one_shot else [pltpu.VMEM((bq, d), jnp.float32)]),
             compiler_params=dq_compiler_params,
             interpret=interpret,
             debug=debug,
@@ -562,6 +769,10 @@ def flash_bwd(
     bq = _snap_block(sq_pad, min(block_sizes.block_q_dkv, f32_cap))
     bkv = _snap_block(sk_pad, min(block_sizes.block_kv_dkv, f32_cap))
     nq, nk = sq_pad // bq, sk_pad // bkv
+    bq_inner = min(getattr(block_sizes, "block_q_dkv_inner", bq) or bq, bq)
+    if bq % bq_inner:
+        bq_inner = math.gcd(bq, bq_inner)
+    dkv_one_shot = (nq == 1) and (group == 1) and not segmented
 
     if band is not None and not segmented:
         wl_b, wr_b = band
@@ -597,12 +808,13 @@ def flash_bwd(
     ]
     dkv_inputs = [q, k, v, do, lse, di]
     dkv_kernel = functools.partial(_dkv_kernel, block_q=bq, block_kv=bkv,
-                                   **common)
+                                   block_q_inner=bq_inner,
+                                   one_shot=dkv_one_shot, **common)
     dkv_out_shape = [
         jax.ShapeDtypeStruct((b, hk, sk_pad, d), k.dtype),
         jax.ShapeDtypeStruct((b, hk, sk_pad, d), v.dtype),
     ]
-    dkv_scratch = [
+    dkv_scratch = [] if dkv_one_shot else [
         pltpu.VMEM((bkv, d), jnp.float32),
         pltpu.VMEM((bkv, d), jnp.float32),
     ]

@@ -147,3 +147,29 @@ def test_default_table_buckets(causal):
         q, k, v, do = _mk(sq, sk, 2, 2)
         _check_fwd(q, k, v, None, causal)
         _check_bwd(q, k, v, do, None, causal)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_for_shape_invariants(causal):
+    """Every table entry must keep the kernel launchable: inner tiles divide
+    their blocks with a bounded unroll, and the wide rows clamp onto the
+    padded sequence the wrapper will produce."""
+    for sk in (128, 500, 512, 1000, 1024, 1600, 2000, 2048, 3000, 4096,
+               5000, 8000, 8192, 12000, 16384, 40000):
+        bs = BlockSizes.for_shape(sk, sk, D, causal=causal)
+        sk_pad = -(-sk // 128) * 128
+        bkv_eff = min(bs.block_kv, sk_pad)
+        for inner in (bs.block_kv_inner, bs.block_kv_dq_inner):
+            if inner is None:
+                continue
+            eff = inner if bkv_eff % inner == 0 else None
+            if eff is None:
+                # the wrapper gcd-snaps; the table should avoid needing it
+                import math
+                eff = math.gcd(bkv_eff, inner)
+            assert bkv_eff % eff == 0
+            assert bkv_eff // eff <= 16, (sk, causal, bkv_eff, eff)
+        if bs.block_q_inner is not None:
+            assert bs.block_q % bs.block_q_inner == 0
+    seg = BlockSizes.for_shape(4096, 4096, D, causal=causal, segmented=True)
+    assert seg.block_kv_inner is None  # varlen keeps the classic grid

@@ -126,10 +126,23 @@ def main():
     params = llama.init_params(jax.random.PRNGKey(0), cfg)
     for kv_quant in (False, True):
         for batch in (1, 4, 8, 16):
-            tps = bench(cfg, params, batch, args.seq_len, args.page_size,
-                        args.total_pages, kv_quant)
+            # The undonated jit chain holds input AND output cache arrays;
+            # at the default 2048 bf16 pages that can exceed HBM. Halve the
+            # pool until the chain fits (the engine rows below keep the full
+            # pool — the engine's dispatch donates its cache).
+            pages = args.total_pages
+            while True:
+                try:
+                    tps = bench(cfg, params, batch, args.seq_len,
+                                args.page_size, pages, kv_quant)
+                    break
+                except Exception as e:  # noqa: BLE001 — survey tool
+                    if "RESOURCE_EXHAUSTED" not in str(e) or pages <= 256:
+                        raise
+                    pages //= 2
+            note = "" if pages == args.total_pages else f" [pages={pages}]"
             print(f"# kv={'int8' if kv_quant else 'bf16'} batch={batch:3d} "
-                  f"ctx={args.seq_len} {tps:9.1f} tok/s (jit chain)",
+                  f"ctx={args.seq_len} {tps:9.1f} tok/s (jit chain){note}",
                   flush=True)
     if args.engine:
         for kv_quant in (False, True):

@@ -11,6 +11,7 @@ Usage: python tools/bench_decode.py [--layers 8] [--dim 1024] ...
 """
 
 import argparse
+import functools
 import sys
 import time
 
@@ -47,7 +48,11 @@ def bench(cfg, params, batch, seq_len, page_size, total_pages, kv_quant,
     woff = jnp.full((batch,), (seq_len - 1) % page_size, jnp.int32)
 
     def chain(n):
-        @jax.jit
+        # Donate the cache operands: the chain then updates the pages in
+        # place like the serving engine's dispatch does, instead of holding
+        # input AND output copies (2x the pool — at 2048 bf16 pages that
+        # rides the HBM ceiling).
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4))
         def g(params, kp, vp, kps, vps, tok):
             for _ in range(n):
                 logits, kp, vp, kps, vps = llama.decode_step(
@@ -58,19 +63,22 @@ def bench(cfg, params, batch, seq_len, page_size, total_pages, kv_quant,
 
         return g
 
-    def run(f):
-        out = f(params, k_pages, v_pages, k_scales, v_scales, tokens)
+    def run(f, state):
+        # donated caches: thread the returned arrays into the next call
+        out = f(params, *state, tokens)
         float(out[0])
+        state = out[1:5]
         t0 = time.perf_counter()
-        s = None
         for _ in range(reps):
-            s = f(params, k_pages, v_pages, k_scales, v_scales, tokens)
-            float(s[0])
-        return (time.perf_counter() - t0) / reps
+            out = f(params, *state, tokens)
+            float(out[0])
+            state = out[1:5]
+        return (time.perf_counter() - t0) / reps, state
 
-    t1 = run(chain(1))
+    state = (k_pages, v_pages, k_scales, v_scales)
+    t1, state = run(chain(1), state)
     for _ in range(3):
-        tn = run(chain(n_chain))
+        tn, state = run(chain(n_chain), state)
         dt = (tn - t1) / (n_chain - 1)
         if dt > 0:
             return batch / dt  # tokens/s (every sequence decodes one token)
@@ -125,6 +133,10 @@ def main():
         hidden_dim=args.hidden)
     params = llama.init_params(jax.random.PRNGKey(0), cfg)
     for kv_quant in (False, True):
+        if kv_quant and args.page_size != 128:
+            print("# kv=int8 rows skipped: kv_quant requires --page-size 128",
+                  flush=True)
+            continue
         for batch in (1, 4, 8, 16):
             # The undonated jit chain holds input AND output cache arrays;
             # at the default 2048 bf16 pages that can exceed HBM. Halve the
@@ -146,6 +158,8 @@ def main():
                   flush=True)
     if args.engine:
         for kv_quant in (False, True):
+            if kv_quant and args.page_size != 128:
+                continue
             for batch in (1, 16):
                 for blk in (1, 8):
                     tps = bench_engine(cfg, params, batch, args.seq_len,

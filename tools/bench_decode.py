@@ -95,6 +95,10 @@ def bench_engine(cfg, params, batch, ctx, page_size, total_pages, kv_quant,
     (multi-step decode) amortizes the remaining per-dispatch round-trip over
     k tokens."""
     from flash_attention_tpu.serving.engine import Engine
+    import gc
+    gc.collect()  # free the previous row's Engine cache arrays FIRST: two
+    # live page pools can exceed HBM, and the engine's per-request fault
+    # tolerance would silently absorb the OOM as failed requests (0 tok/s)
     eng = Engine(cfg, params, total_pages=total_pages, page_size=page_size,
                  max_batch=batch,
                  max_seq_len=ctx + new_tokens + decode_block + 1,
@@ -109,7 +113,11 @@ def bench_engine(cfg, params, batch, ctx, page_size, total_pages, kv_quant,
     steps0, toks0 = eng.stats["decode_steps"], eng.stats["decode_tokens"]
     eng.run(max_steps=new_tokens + 4)
     dt = time.perf_counter() - t0
-    return (eng.stats["decode_tokens"] - toks0) / dt
+    decoded = eng.stats["decode_tokens"] - toks0
+    if decoded == 0:
+        print("# WARNING: 0 tokens decoded in the timed window — requests "
+              "likely failed (check HBM pressure); row is invalid", flush=True)
+    return decoded / dt
 
 
 def main():

@@ -7,7 +7,10 @@ TPU-native re-design of the reference forward
   loop over K/V tiles becomes a Pallas grid ``(batch, head, q_blocks,
   kv_blocks)`` whose innermost dimension is the online-softmax reduction —
   Mosaic's pipeline double-buffers the HBM->VMEM K/V block DMAs, replacing
-  Turing's register-file K prefetch (flash_fwd_kernel.h:312,327-331).
+  Turing's register-file K prefetch (flash_fwd_kernel.h:312,327-331). In the
+  measured-fastest ONE-SHOT configs the whole K/V sequence is a single block
+  (kv_blocks == 1): no reduction dim, no cross-step state, the block
+  streamed as ``block_kv_inner``-wide sub-tiles with (m, l, acc) in SSA.
 * Warp-shuffle rowmax/rowsum (flash_fwd_kernel.h:385-474) become plain
   ``jnp.max/sum`` VPU reductions over the (block_q, block_kv) score tile.
 * smem aliasing/swizzles (flash_fwd_kernel.h:120-124, kernel_traits.h:64-67)
@@ -16,7 +19,10 @@ TPU-native re-design of the reference forward
   ``col - row > seqlen_k - seqlen_q`` (mask.h:172). Fully-above-diagonal KV
   blocks are skipped (the analogue of n_block_max, flash_fwd_kernel.h:241-271)
   and their K/V DMAs elided by clamping the BlockSpec index map (Pallas skips
-  the copy when the block index is unchanged between grid steps).
+  the copy when the block index is unchanged between grid steps); within
+  live blocks a static (q-band, kv-block) lax.switch and the one-cell
+  diagonal-triangle unroll resolve the live sub-tile ranges at trace time
+  (the analogue of n_masking_steps — no dynamic control flow).
 * Fully-masked rows produce O=0, LSE=0 (flash_fwd_kernel.h:717-730, :766-785).
 * GQA/MQA: the K/V index maps divide the q-head index by the group size —
   no head expansion is materialized (contrast flash_api.cpp:265-272).

@@ -93,16 +93,99 @@ def _float0_like(x):
     return jnp.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
+def merge_partials(o1, lse1, o2, lse2):
+    """Merge two attention partials computed over disjoint kv sets.
+
+    o*: (b, sq, h, d); lse*: (b, h, sq) natural-log-sum-exp per row.
+    Returns (o, lse) equal to attention over the union of the kv sets.
+    Rows dead in one partial carry lse = -inf there and weight to exactly 0.
+    (Also re-exported by parallel.sharded_attention — the same primitive
+    merges ring-attention steps across chips and kv chunks within one.)
+    """
+    lse_max = jnp.maximum(lse1, lse2)
+    # Rows dead in BOTH partials (lse_max == -inf) would turn the stable
+    # log-sum-exp into -inf - -inf = nan; substitute a safe 0 there (the
+    # exp(-inf - 0) weights are exactly 0 either way) and keep lse = -inf.
+    alive = lse_max != -jnp.inf
+    lm = jnp.where(alive, lse_max, 0.0)
+    # stable log(exp(lse1) + exp(lse2))
+    lse = jnp.where(
+        alive,
+        lm + jnp.log(jnp.exp(lse1 - lm) + jnp.exp(lse2 - lm)),
+        -jnp.inf)
+    ls = jnp.where(alive, lse, 0.0)
+    a1 = jnp.exp(lse1 - ls)[..., None].swapaxes(1, 2)  # (b, sq, h, 1)
+    a2 = jnp.exp(lse2 - ls)[..., None].swapaxes(1, 2)
+    o = o1.astype(jnp.float32) * a1 + o2.astype(jnp.float32) * a2
+    return o.astype(o1.dtype), lse
+
+
+_merge_partials = merge_partials
+
+
 # --------------------------------------------------------------------------
 # Core padded-layout fwd/bwd wrappers (shared by dense and varlen paths)
 # --------------------------------------------------------------------------
 
 
+# Longest K/V a single forward launch streams. Above this the one-shot
+# kernel regime (whole sequence one block, state in SSA — see flash_fwd /
+# configs.for_shape) no longer fits VMEM and the scratch grid loses ~14
+# points of SOL (16k dense measured 75% vs 89% at 8k). So auto-configured
+# dense/causal/right-windowed forwards CHUNK the kv axis: each <=8192-wide
+# chunk runs the one-shot kernel, partials combine with the online-softmax
+# LSE merge (parallel.merge_partials — the same primitive ring attention
+# uses; merge traffic is O(b*h*sq*d) per chunk, ~2 ms against the ~60 ms an
+# 8k-chunk pair computes). Backward is untouched: custom_vjp consumes only
+# (o, lse), which are bit-for-bit a valid attention result.
+KV_SPLIT = 8192
+
+
 def _fwd_padded(q, k, v, segs, *, causal, sm_scale, block_sizes, interpret,
-                window=None, softcap=None, empty_lse=0.0):
+                window=None, softcap=None, empty_lse=0.0, kv_split=None):
     """q (b,sq,h,d); k/v (b,sk,hk,d); segs None or (q_seg, kv_seg, q_pos, kv_pos)."""
     b, sq, h, d = q.shape
     _, sk, hk, _ = k.shape
+
+    # ---- long-KV chunked path (see KV_SPLIT above) ----
+    split = KV_SPLIT if kv_split is None else kv_split
+    band = _fwd_mod.normalize_band(causal, window)
+    if (segs is None and block_sizes is None and sk > split
+            and (band is None or band[0] is None)):
+        # Chunk c covers global cols [c0, c1). The global band constraint
+        # rel_g = col_g - row - (sk - sq) <= wr becomes, in chunk-local
+        # lower-right coordinates, rel_c <= wr + (sk - c1): a plain
+        # right-bounded window per chunk (the last chunk's shift is 0, so
+        # plain causal stays plain causal there). Left-bounded windows are
+        # excluded above: a chunk-local left bound can go negative, which
+        # the <0 = unbounded window convention cannot express.
+        wr = None if band is None else band[1]
+        o = lse = None
+        for c0 in range(0, sk, split):
+            c1 = min(c0 + split, sk)
+            cwin = None
+            if wr is not None:
+                wr_c = wr + (sk - c1)
+                # chunk fully live for every row (max rel_c = sq - 1)
+                cwin = None if wr_c >= sq - 1 else (-1, wr_c)
+            oc, lsec = _fwd_padded(
+                q, k[:, c0:c1], v[:, c0:c1], None,
+                causal=False, sm_scale=sm_scale, block_sizes=None,
+                interpret=interpret, window=cwin, softcap=softcap,
+                # -inf marks rows dead in this chunk so the merge weights
+                # them out exactly (exp(-inf - lse) == 0)
+                empty_lse=float("-inf"), kv_split=sk,
+            )
+            o, lse = (oc, lsec) if o is None else _merge_partials(
+                o, lse, oc, lsec)
+        # Rows dead in EVERY chunk (sq > sk causal tops): restore the
+        # public sentinel (O = 0, lse = empty_lse), and keep the merge's
+        # 0 * nan out of O.
+        dead = jnp.isneginf(lse)
+        o = jnp.where(jnp.swapaxes(dead, 1, 2)[..., None],
+                      jnp.zeros_like(o), o)
+        lse = jnp.where(dead, jnp.float32(empty_lse), lse)
+        return o, lse
     if h % hk != 0:
         raise ValueError(f"num_heads {h} must be divisible by num_heads_k {hk}")
     if d != k.shape[-1]:
@@ -264,6 +347,7 @@ def fwd(
     window_size: tuple | None = None,
     softcap: float | None = None,
     empty_lse: float = 0.0,
+    kv_split: int | None = None,
 ):
     """Forward pass: (o, lse). Parity with reference ``fwd`` (flash_api.cpp:156).
 
@@ -271,12 +355,15 @@ def fwd(
     lse (b, h, sq) fp32 (the reference's ``l`` tensor, flash_api.cpp:187-188).
     ``window_size``: optional (left, right) sliding window, upstream
     flash-attention semantics (entries < 0 = unbounded).
+    ``kv_split``: override the KV_SPLIT chunking threshold (tests force small
+    values to exercise the chunked long-KV path at CPU-sized shapes).
     """
     o, lse = _fwd_padded(
         q, k, v, segs,
         causal=is_causal, sm_scale=sm_scale, block_sizes=block_sizes,
         interpret=interpret, empty_lse=empty_lse, softcap=softcap,
         window=None if window_size is None else tuple(window_size),
+        kv_split=kv_split,
     )
     return o, lse
 

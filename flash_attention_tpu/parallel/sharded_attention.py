@@ -23,27 +23,15 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from flash_attention_tpu.ops.attention import bwd, flash_attention, fwd
+from flash_attention_tpu.ops.attention import (  # noqa: F401 — re-export
+    bwd, flash_attention, fwd, merge_partials)
 
 # lse sentinel for rows with no attended keys in a *partial* result. Finite
 # (not -inf) so exp/logaddexp arithmetic in the merge stays NaN-free; any
-# real contribution dominates it.
+# real contribution dominates it. (merge_partials itself now also tolerates
+# -inf sentinels — it lives in ops.attention, shared with the long-KV
+# chunked forward.)
 EMPTY_LSE = -1e37
-
-
-def merge_partials(o1, lse1, o2, lse2):
-    """Merge two attention partials computed over disjoint kv sets.
-
-    o*: (b, sq, h, d); lse*: (b, h, sq) natural-log-sum-exp per row.
-    Returns (o, lse) equal to attention over the union of the kv sets.
-    """
-    lse_max = jnp.maximum(lse1, lse2)
-    # stable log(exp(lse1) + exp(lse2))
-    lse = lse_max + jnp.log(jnp.exp(lse1 - lse_max) + jnp.exp(lse2 - lse_max))
-    a1 = jnp.exp(lse1 - lse)[..., None].swapaxes(1, 2)  # (b, sq, h, 1)
-    a2 = jnp.exp(lse2 - lse)[..., None].swapaxes(1, 2)
-    o = o1.astype(jnp.float32) * a1 + o2.astype(jnp.float32) * a2
-    return o.astype(o1.dtype), lse
 
 
 def _ring_positions(me, step, n, b, sq_local, sk_local, seq_offset):

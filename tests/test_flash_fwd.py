@@ -204,3 +204,45 @@ def test_fwd_custom_scale():
     o, _ = fwd(q, k, v, is_causal=False, sm_scale=0.5)
     o_ref, _ = reference_attention(q, k, v, causal=False, sm_scale=0.5)
     assert_metrics("o[scale]", o, o_ref, FWD_TOLS)
+
+
+# ---- long-KV chunked forward (attention.KV_SPLIT) ----
+# Above KV_SPLIT the auto-configured forward chunks the kv axis into
+# one-shot-sized pieces merged with the online-softmax LSE merge; kv_split
+# forces a tiny threshold so the path runs at interpret-mode shapes,
+# including ragged last chunks, causal (per-chunk right-window rewrite),
+# cross shapes with fully-dead rows, and GQA.
+KV_SPLIT_CASES = [
+    # (sq, sk, kv_split, causal)
+    (256, 640, 256, False),   # ragged last chunk
+    (256, 640, 256, True),
+    (512, 512, 128, True),    # square causal, 4 chunks
+    (640, 384, 128, True),    # sq > sk: top rows dead in EVERY chunk
+    (129, 257, 128, True),    # off-by-one boundaries
+    (384, 1024, 512, False),
+]
+
+
+@pytest.mark.parametrize("sq,sk,kv_split,causal", KV_SPLIT_CASES)
+def test_fwd_kv_split_parity(sq, sk, kv_split, causal):
+    q, k, v = _make_qkv(jax.random.PRNGKey(11), 2, sq, sk, 4, 2, 128,
+                        jnp.float16)
+    o, lse = fwd(q, k, v, is_causal=causal, kv_split=kv_split)
+    # the unsplit kernel is itself gated against the oracle; compare to the
+    # oracle directly so this also covers the merge numerics
+    o_ref, lse_ref = reference_attention(q, k, v, causal=causal)
+    tag = f"kvsplit[{sq},{sk},{kv_split},causal={causal}]"
+    assert_metrics(f"o[{tag}]", o, o_ref, FWD_TOLS)
+    assert_metrics(f"lse[{tag}]", lse, lse_ref, LSE_TOLS)
+    assert bool(jnp.all(jnp.isfinite(lse)))
+
+
+def test_fwd_kv_split_matches_unsplit_bitwise_dead_rows():
+    # sq > sk causal: rows 0..sq-sk-1 attend nothing. The chunked path must
+    # restore the public sentinel (O = 0, lse = empty_lse) exactly.
+    q, k, v = _make_qkv(jax.random.PRNGKey(3), 1, 640, 384, 4, 4, 128,
+                        jnp.float16)
+    o, lse = fwd(q, k, v, is_causal=True, kv_split=128)
+    dead = 640 - 384
+    assert bool(jnp.all(o[:, :dead] == 0.0))
+    assert bool(jnp.all(lse[:, :, :dead] == 0.0))
